@@ -1,0 +1,53 @@
+"""quiver-tpu: a TPU-native graph learning acceleration framework.
+
+Rebuild of the capabilities of quiver-team/torch-quiver (GPU-accelerated
+graph sampling, tiered feature collection, workload-aware serving) as an
+idiomatic JAX/XLA/Pallas framework — see SURVEY.md for the blueprint and
+the reference export list at srcs/python/quiver/__init__.py:2-11.
+"""
+from __future__ import annotations
+
+from .utils import CSRTopo, parse_size, reindex_by_config, reindex_feature
+from .sampling import (
+    NeighborSampler,
+    SampledBatch,
+    Adj,
+    sample_adjacency,
+    weighted_sample_adjacency,
+    cal_next_prob,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSRTopo",
+    "parse_size",
+    "reindex_by_config",
+    "reindex_feature",
+    "NeighborSampler",
+    "SampledBatch",
+    "Adj",
+    "sample_adjacency",
+    "weighted_sample_adjacency",
+    "cal_next_prob",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # Heavier subsystems are imported lazily to keep `import quiver_tpu`
+    # light (feature store, partitioner, serving, parallel, models).
+    if name in ("Feature", "DistFeature", "PartitionInfo", "DeviceConfig"):
+        from . import feature as _f
+        return getattr(_f, name)
+    if name in ("partition_without_replication", "select_nodes",
+                "quiver_partition_feature", "load_quiver_feature_partition"):
+        from . import partition as _p
+        return getattr(_p, name)
+    if name == "generate_neighbour_num":
+        from .serving.neighbour_num import generate_neighbour_num
+        return generate_neighbour_num
+    if name in ("models", "serving", "parallel", "feature", "partition", "ops"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,68 @@
+"""Row gather from an HBM-resident feature table.
+
+TPU-native replacement for the reference's warp-per-row gather kernel
+(``quiver_tensor_gather`` shard_tensor.cu.hpp:19-61). On TPU the
+idiomatic shape is: the table stays in HBM, the kernel issues per-row
+async DMAs HBM->VMEM driven by scalar-prefetched indices, and Pallas
+pipelines the VMEM output block back to HBM. A plain XLA dynamic-gather
+(`jnp.take`) is kept as reference/fallback path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gather_rows(table, ids):
+    """XLA dynamic-gather baseline: out[i] = table[ids[i]]."""
+    return jnp.take(table, ids, axis=0, fill_value=None, mode="clip")
+
+
+def _gather_kernel(rows_per_step, ids_ref, table_ref, out_ref, sems):
+    step = pl.program_id(0)
+    base = step * rows_per_step
+
+    def make_dma(g):
+        rid = ids_ref[base + g]
+        return pltpu.make_async_copy(
+            table_ref.at[rid], out_ref.at[g], sems.at[g])
+
+    for g in range(rows_per_step):
+        make_dma(g).start()
+    for g in range(rows_per_step):
+        make_dma(g).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_step", "interpret"))
+def gather_rows_pallas(table, ids, *, rows_per_step: int = 16,
+                       interpret: bool = False):
+    """Pallas gather: out[i] = table[ids[i]].
+
+    ids must be pre-clamped to [0, table.shape[0]); the id count is
+    padded up to a multiple of ``rows_per_step`` internally.
+    """
+    M = ids.shape[0]
+    D = table.shape[1]
+    G = rows_per_step
+    Mp = -(-M // G) * G
+    ids_p = jnp.zeros((Mp,), jnp.int32).at[:M].set(ids.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((G, D), lambda i, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((G,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, G),
+        out_shape=jax.ShapeDtypeStruct((Mp, D), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids_p, table)
+    return out[:M]

@@ -1,0 +1,17 @@
+from .kernels import (
+    sample_adjacency,
+    weighted_sample_adjacency,
+    cal_next_prob,
+    build_row_cdf,
+)
+from .sampler import NeighborSampler, SampledBatch, Adj
+
+__all__ = [
+    "sample_adjacency",
+    "weighted_sample_adjacency",
+    "cal_next_prob",
+    "build_row_cdf",
+    "NeighborSampler",
+    "SampledBatch",
+    "Adj",
+]

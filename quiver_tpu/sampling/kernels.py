@@ -1,0 +1,171 @@
+"""Static-shape neighbor-sampling primitives (jittable, CPU+TPU).
+
+TPU-native replacement for the reference's warp-per-row kernels:
+  * uniform k-subset per row  — reference ``CSRRowWiseSampleKernel``
+    (cuda_random.cu.hpp:8-69, DGL-style reservoir): we use Floyd's
+    algorithm, which draws a uniform k-subset with a *static* k-step
+    loop and O(k^2) vector compares — no atomics, no dynamic shapes,
+    so it vectorises over the whole frontier on the VPU.
+  * weighted sampling with replacement — reference ``weight_sample``
+    (cuda_random.cu.hpp:179-221): inverse-CDF via a fixed 32-step
+    binary search over a per-row normalized inclusive CDF.
+  * ``cal_next_prob`` — reference ``cal_next`` (cuda_random.cu.hpp:72-104):
+    hop h -> h+1 access probability, edge-parallel in log space.
+
+All functions take the CSR arrays as device buffers (HBM-resident; the
+TPU analogue of the reference's DMA mode) and padded frontiers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import segment_sum
+
+
+def _row_ranges(indptr, frontier, frontier_valid):
+    n_nodes = indptr.shape[0] - 1
+    f = jnp.clip(frontier.astype(jnp.int32), 0, n_nodes - 1)
+    start = indptr[f]
+    deg = indptr[f + 1] - start
+    deg = jnp.where(frontier_valid, deg, 0)
+    return start.astype(jnp.int32), deg.astype(jnp.int32)
+
+
+def _floyd_positions(key, deg, k: int):
+    """Uniform k-subset of [0, deg) per row via Floyd's algorithm.
+
+    Returns positions [N, k]; rows with deg <= k get arange(k).
+    Only the first min(deg, k) lanes are meaningful.
+    """
+    N = deg.shape[0]
+    u = jax.random.uniform(key, (k, N))
+    ar = jnp.arange(k, dtype=jnp.int32)
+
+    sel = jnp.zeros((N, k), dtype=jnp.int32)
+    for step in range(k):
+        i = deg - k + step                      # [N]; >= 0 when deg > k
+        hi = jnp.maximum(i, 0)
+        t = jnp.minimum((u[step] * (hi + 1).astype(u.dtype)).astype(jnp.int32), hi)
+        if step > 0:
+            dup = jnp.any(sel[:, :step] == t[:, None], axis=1)
+            t = jnp.where(dup, hi, t)
+        sel = sel.at[:, step].set(t)
+
+    take_all = (deg <= k)[:, None]
+    return jnp.where(take_all, ar[None, :], sel)
+
+
+def sample_adjacency(indptr, indices, frontier, frontier_valid, k: int, key):
+    """Uniform fanout-k sampling without replacement for each frontier row.
+
+    Args:
+      indptr: [V+1] int32/int64 CSR row pointers (device).
+      indices: [E] int32 CSR column ids (device).
+      frontier: [N] int32 global node ids (padded).
+      frontier_valid: [N] bool.
+      k: static fanout.
+      key: PRNG key.
+
+    Returns:
+      nbr: [N, k] int32 sampled neighbor global ids (garbage where masked).
+      mask: [N, k] bool — lane j of row i valid iff j < min(deg_i, k).
+      pos: [N, k] int32 CSR slot of each sampled edge (for edge ids /
+        weights), garbage where masked.
+    """
+    start, deg = _row_ranges(indptr, frontier, frontier_valid)
+    pos = _floyd_positions(key, deg, k)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    cnt = jnp.minimum(deg, k)
+    mask = (ar[None, :] < cnt[:, None]) & frontier_valid[:, None]
+    slot = start[:, None] + pos
+    slot = jnp.where(mask, slot, 0)
+    nbr = jnp.take(indices, slot, mode="clip").astype(jnp.int32)
+    return nbr, mask, slot
+
+
+def weighted_sample_adjacency(indptr, indices, row_cdf, frontier,
+                              frontier_valid, k: int, key):
+    """Weighted fanout-k sampling WITH replacement (reference semantics).
+
+    ``row_cdf``: [E] float32, per-row inclusive CDF (last entry of each
+    row == 1.0), built by ``build_row_cdf``. For each draw r ~ U(0,1],
+    picks the first CSR slot with cdf >= r via a fixed-depth binary
+    search (parity with weight_sample cuda_random.cu.hpp:179-197).
+    """
+    start, deg = _row_ranges(indptr, frontier, frontier_valid)
+    N = frontier.shape[0]
+    r = jax.random.uniform(key, (N, k), minval=1e-7, maxval=1.0)
+
+    lo = jnp.zeros((N, k), jnp.int32)
+    hi = jnp.broadcast_to((deg - 1)[:, None], (N, k)).astype(jnp.int32)
+    hi = jnp.maximum(hi, 0)
+    E = row_cdf.shape[0]
+    # ceil(log2(max_deg)) bounded by 32 for int32 degrees.
+    for _ in range(32):
+        mid = (lo + hi) // 2
+        slot = jnp.clip(start[:, None] + mid, 0, E - 1)
+        cm = jnp.take(row_cdf, slot, mode="clip")
+        go_right = cm < r
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    pos = jnp.minimum(lo, jnp.maximum(deg - 1, 0)[:, None])
+
+    ar = jnp.arange(k, dtype=jnp.int32)
+    # with replacement: all k lanes valid whenever deg > 0
+    mask = (deg > 0)[:, None] & frontier_valid[:, None] & (ar[None, :] < k)
+    slot = jnp.where(mask, start[:, None] + pos, 0)
+    nbr = jnp.take(indices, slot, mode="clip").astype(jnp.int32)
+    return nbr, mask, slot
+
+
+def build_row_cdf(indptr, weights):
+    """Host-side: per-row inclusive CDF over CSR edge weights (float64
+    accumulation, float32 storage; last entry of each non-empty row == 1).
+    Analogue of the reference's ``bucket_weight_functor`` per-bucket
+    normalization (quiver.cu.hpp:61-82).
+    """
+    import numpy as np
+    indptr = np.asarray(indptr, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.float64)
+    cums = np.cumsum(w)
+    ex = np.concatenate([[0.0], cums])            # exclusive prefix sums
+    deg = np.diff(indptr)
+    row_base = ex[indptr[:-1]]                    # sum before each row
+    row_tot = ex[indptr[1:]] - row_base           # per-row weight total
+    base = np.repeat(row_base, deg)
+    tot = np.repeat(row_tot, deg)
+    cdf = (cums - base) / np.maximum(tot, 1e-300)
+    return cdf.astype(np.float32)
+
+
+def cal_next_prob(indptr, indices, last_prob, k: int):
+    """Hop h -> h+1 access probability (reference cal_next semantics).
+
+    p_next[v] = 1 - (1 - p[v]) * prod_{u in N(v)} skip(u)
+      skip(u) = 1                         if deg_u == 0
+              = 1 - p[u]                  if deg_u <= k
+              = 1 - p[u] * k / deg_u      otherwise
+    and p_next[v] = 0 when deg_v == 0.
+
+    Edge-parallel over the full CSR in log space (segment-sum per row).
+    """
+    V = indptr.shape[0] - 1
+    E = indices.shape[0]
+    deg = (indptr[1:] - indptr[:-1]).astype(jnp.float32)
+    deg_i = (indptr[1:] - indptr[:-1]).astype(jnp.int32)
+    p = last_prob.astype(jnp.float32)
+
+    sel_frac = jnp.where(deg_i <= k, 1.0, k / jnp.maximum(deg, 1.0))
+    skip = 1.0 - p * jnp.where(deg_i == 0, 0.0, sel_frac)
+    skip = jnp.clip(skip, 1e-12, 1.0)
+    log_skip_u = jnp.log(skip)                      # [V]
+
+    # row id of each CSR slot: searchsorted over indptr
+    rows = jnp.searchsorted(indptr.astype(jnp.int32),
+                            jnp.arange(E, dtype=jnp.int32), side="right") - 1
+    edge_log = log_skip_u[indices.astype(jnp.int32)]
+    acc_log = segment_sum(edge_log, rows, V)
+    acc = jnp.exp(acc_log)
+    p_next = 1.0 - (1.0 - p) * acc
+    return jnp.where(deg_i == 0, 0.0, p_next)

@@ -1,0 +1,223 @@
+"""Layered neighbor sampler with static shapes (the GraphSageSampler analogue).
+
+TPU-native rebuild of the reference's ``GraphSageSampler``
+(srcs/python/quiver/pyg/sage_sampler.py:40-178) and the fused
+sample+reindex path (``TorchQuiver::sample_kernel`` quiver_sample.cu:134-200,
+``reindex_single`` quiver_sample.cu:305-357).
+
+Key departure from the reference (by design, for XLA): every shape is
+static. The reference returns ragged ``(neighbors, counts)`` and a
+dynamically-sized reindexed id space; here each layer emits a padded
+``[F, k]`` neighbor block plus masks, and the union/reindex step
+(``ops.union_reindex``) produces a fixed-capacity local-id table with a
+dynamic count. Downstream aggregation is mask-correct, so the padded
+program computes exactly the ragged semantics.
+
+Modes (parity with reference sage_sampler.py:44-64):
+  * ``TPU``  — CSR resident in device HBM (analogue of reference GPU/DMA
+    mode). The whole multi-layer sample is one jitted XLA program.
+  * ``CPU``  — host numpy oracle (``cpu_ref``), used for serving CPU
+    workers and as ground truth in tests (analogue of reference CPU mode).
+
+There is no UVA mode: TPUs have no zero-copy host mapping. Graphs larger
+than HBM are handled by edge partitioning across hosts (see
+``quiver_tpu.parallel``), per SURVEY.md §7.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.unique import union_reindex, SENTINEL
+from .kernels import (
+    sample_adjacency,
+    weighted_sample_adjacency,
+    build_row_cdf,
+    cal_next_prob,
+)
+
+
+class Adj(NamedTuple):
+    """One sampled bipartite block (parity with reference Adj, sage_sampler.py:21).
+
+    ``edge_index[0]`` = source local id (sampled neighbor),
+    ``edge_index[1]`` = target local id (frontier position); messages flow
+    source -> target, matching PyG's convention after the reference's
+    row/col flip (sage_sampler.py:136-144).
+    """
+
+    edge_index: jnp.ndarray   # [2, E] int32
+    e_id: jnp.ndarray         # [E] int32/int64 CSR slot of each edge
+    mask: jnp.ndarray         # [E] bool, False on padded lanes
+    size: Tuple[int, int]     # static (src_capacity, dst_capacity)
+    counts: jnp.ndarray       # [2] int32 dynamic (src_count, dst_count)
+
+
+class SampledBatch(NamedTuple):
+    n_id: jnp.ndarray         # [C_final] int32 global ids, seeds first
+    n_count: jnp.ndarray      # scalar int32: number of valid n_id entries
+    batch_size: int           # static padded seed-slot count
+    seed_count: jnp.ndarray   # scalar int32: number of valid seeds
+    adjs: Tuple[Adj, ...]     # outermost layer first (reversed, PyG order)
+
+
+def _layer_capacities(batch_size: int, sizes: Sequence[int],
+                      capacities: Optional[Sequence[int]]) -> Tuple[int, ...]:
+    """Worst-case unique-node capacity per layer: F_{l+1} = F_l * (1 + k_l)."""
+    caps = []
+    f = batch_size
+    for li, k in enumerate(sizes):
+        worst = f * (1 + k)
+        c = worst if capacities is None else min(int(capacities[li]), worst)
+        caps.append(c)
+        f = c
+    return tuple(caps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sizes", "caps", "batch_size", "weighted"),
+)
+def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
+                   sizes, caps, batch_size, weighted):
+    """Jitted multi-layer sample + union/reindex. All shapes static."""
+    frontier = jnp.full((batch_size,), SENTINEL, jnp.int32)
+    frontier = jax.lax.dynamic_update_slice(frontier, seeds.astype(jnp.int32), (0,))
+    f_count = seed_count.astype(jnp.int32)
+    f_cap = batch_size
+
+    layer_outs = []
+    for li, k in enumerate(sizes):
+        key, sub = jax.random.split(key)
+        f_valid = jnp.arange(f_cap, dtype=jnp.int32) < f_count
+        if weighted:
+            nbr, mask, slot = weighted_sample_adjacency(
+                indptr, indices, row_cdf, frontier, f_valid, k, sub)
+        else:
+            nbr, mask, slot = sample_adjacency(
+                indptr, indices, frontier, f_valid, k, sub)
+
+        cap = caps[li]
+        out_ids, out_count, cand_local, cand_ok = union_reindex(
+            frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap)
+
+        # Edges: target local id = frontier slot (base ids keep 0..F-1),
+        # source local id = candidate's assigned local id.
+        dst = jnp.repeat(jnp.arange(f_cap, dtype=jnp.int32), k)
+        src = cand_local.astype(jnp.int32)
+        emask = cand_ok
+        layer_outs.append((
+            jnp.stack([src, dst]),
+            slot.reshape(-1),
+            emask,
+            jnp.stack([out_count, f_count]),
+        ))
+        frontier, f_count, f_cap = out_ids, out_count, cap
+
+    return frontier, f_count, layer_outs
+
+
+class NeighborSampler:
+    """Fanout-limited layered sampler over a CSR graph.
+
+    Args:
+      csr_topo: a ``quiver_tpu.CSRTopo`` (host-resident).
+      sizes: per-layer fanouts, e.g. ``[25, 10]``. Same ordering contract
+        as the reference: iterate in order, return blocks reversed.
+      device: optional ``jax.Device`` to pin CSR buffers to.
+      mode: ``"TPU"`` (device HBM, jitted) or ``"CPU"`` (numpy oracle).
+      capacities: optional per-layer unique-node caps (overflow edges are
+        masked out); defaults to the exact worst case.
+      weighted: sample proportionally to ``csr_topo.edge_weight``
+        (with replacement, parity with reference weight_sample).
+      seed: PRNG seed.
+    """
+
+    def __init__(self, csr_topo, sizes: Sequence[int], device=None,
+                 mode: str = "TPU", capacities: Optional[Sequence[int]] = None,
+                 weighted: bool = False, seed: int = 0):
+        mode = mode.upper()
+        if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
+            raise ValueError(f"unknown mode {mode!r}")
+        # GPU/UVA accepted as aliases for migration friendliness.
+        self.mode = "CPU" if mode == "CPU" else "TPU"
+        self.csr_topo = csr_topo
+        self.sizes = tuple(int(s) for s in sizes)
+        self.capacities = None if capacities is None else tuple(capacities)
+        self.weighted = bool(weighted)
+        self.device = device
+        self._key = jax.random.PRNGKey(seed)
+        self._rng = np.random.default_rng(seed)
+
+        if self.weighted and csr_topo.edge_weight is None:
+            raise ValueError("weighted sampling requires csr_topo.edge_weight")
+
+        if self.mode == "TPU":
+            put = functools.partial(jax.device_put, device=device)
+            self.indptr = put(jnp.asarray(csr_topo.indptr, jnp.int32))
+            self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
+            if self.weighted:
+                cdf = build_row_cdf(csr_topo.indptr, csr_topo.edge_weight)
+                self.row_cdf = put(jnp.asarray(cdf, jnp.float32))
+            else:
+                self.row_cdf = put(jnp.zeros((1,), jnp.float32))
+        else:
+            from . import cpu_ref
+            self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
+                                           weighted=self.weighted, seed=seed)
+
+    # -- shape bucketing: pad the seed batch to limit recompiles ---------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def sample(self, seeds) -> SampledBatch:
+        """Sample the k-hop neighborhood of ``seeds``.
+
+        Returns a ``SampledBatch``; ``adjs`` are ordered outermost-first
+        (reference sage_sampler.py:147 reverses the per-layer list).
+        """
+        if self.mode == "CPU":
+            return self._cpu.sample(np.asarray(seeds))
+
+        seeds = np.asarray(seeds)
+        n = int(seeds.shape[0])
+        bs = self._bucket(n)
+        pad = np.zeros((bs,), np.int32)
+        pad[:n] = seeds
+        self._key, sub = jax.random.split(self._key)
+        caps = _layer_capacities(bs, self.sizes, self.capacities)
+
+        frontier, f_count, layer_outs = _sample_layers(
+            self.indptr, self.indices, self.row_cdf,
+            jnp.asarray(pad), jnp.int32(n), sub,
+            sizes=self.sizes, caps=caps, batch_size=bs,
+            weighted=self.weighted)
+
+        adjs = []
+        f_cap = bs
+        for li, (edge_index, e_id, mask, counts) in enumerate(layer_outs):
+            adjs.append(Adj(edge_index=edge_index, e_id=e_id, mask=mask,
+                            size=(caps[li], f_cap), counts=counts))
+            f_cap = caps[li]
+        return SampledBatch(n_id=frontier, n_count=f_count,
+                            batch_size=bs, seed_count=jnp.int32(n),
+                            adjs=tuple(reversed(adjs)))
+
+    def sample_prob(self, train_idx, total_node_count: int) -> jnp.ndarray:
+        """Multi-hop access probability per node (reference sample_prob,
+        sage_sampler.py:149-157 -> cal_neighbor_prob quiver_sample.cu:100)."""
+        p = jnp.zeros((total_node_count,), jnp.float32)
+        p = p.at[jnp.asarray(np.asarray(train_idx))].set(1.0)
+        indptr = jnp.asarray(self.csr_topo.indptr, jnp.int32)
+        indices = jnp.asarray(self.csr_topo.indices, jnp.int32)
+        for k in self.sizes:
+            p = cal_next_prob(indptr, indices, p, k)
+        return p

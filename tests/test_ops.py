@@ -1,0 +1,118 @@
+"""Unit tests for the static-shape ops (union/reindex, segment reductions,
+gather) — the analogue of the reference's reindex/permutation property
+tests (tests/cpp/test_reindex.cu) and gather ground-truth checks
+(tests/python/cuda/test_shard_tensor.py:44-80)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quiver_tpu.ops import (
+    union_reindex,
+    segment_sum,
+    segment_mean,
+    segment_max,
+    segment_softmax,
+    gather_rows,
+)
+from quiver_tpu.ops.unique import SENTINEL
+
+
+def _np_union(base, cand):
+    """First-occurrence-ordered union oracle."""
+    out, local = list(base), {g: i for i, g in enumerate(base)}
+    cl = []
+    for g in cand:
+        if g not in local:
+            local[g] = len(out)
+            out.append(g)
+        cl.append(local[g])
+    return out, cl
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_union_reindex_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    base = rng.choice(1000, size=6, replace=False).astype(np.int32)
+    cand = rng.integers(0, 1000, size=40).astype(np.int32)
+    cand[5:8] = base[1]  # force duplicates of a base id
+    valid = rng.random(40) > 0.2
+    cap = 64
+
+    out_ids, out_count, cand_local, cand_ok = jax.jit(
+        union_reindex, static_argnames="capacity")(
+            jnp.asarray(base), jnp.int32(6), jnp.asarray(cand),
+            jnp.asarray(valid), capacity=cap)
+
+    oracle_out, oracle_local = _np_union(base.tolist(),
+                                         cand[valid].tolist())
+    out_count = int(out_count)
+    assert out_count == len(oracle_out)
+    assert np.asarray(out_ids)[:out_count].tolist() == oracle_out
+    assert np.all(np.asarray(out_ids)[out_count:] == int(SENTINEL))
+    got_local = np.asarray(cand_local)[valid]
+    assert got_local.tolist() == oracle_local
+    assert np.array_equal(np.asarray(cand_ok), valid)
+
+
+def test_union_reindex_capacity_overflow():
+    base = jnp.arange(4, dtype=jnp.int32)
+    cand = jnp.arange(100, 120, dtype=jnp.int32)
+    valid = jnp.ones(20, bool)
+    out_ids, out_count, cand_local, cand_ok = union_reindex(
+        base, jnp.int32(4), cand, valid, capacity=10)
+    assert int(out_count) == 10
+    assert np.asarray(out_ids).tolist()[:10] == [0, 1, 2, 3] + list(range(100, 106))
+    ok = np.asarray(cand_ok)
+    assert ok[:6].all() and not ok[6:].any()
+
+
+def test_segment_ops_against_numpy():
+    rng = np.random.default_rng(0)
+    E, V, D = 64, 10, 3
+    data = rng.normal(size=(E, D)).astype(np.float32)
+    seg = rng.integers(0, V, E)
+    mask = rng.random(E) > 0.3
+
+    s = np.asarray(segment_sum(jnp.asarray(data), jnp.asarray(seg), V,
+                               jnp.asarray(mask)))
+    ref = np.zeros((V, D), np.float32)
+    for e in range(E):
+        if mask[e]:
+            ref[seg[e]] += data[e]
+    np.testing.assert_allclose(s, ref, rtol=1e-5)
+
+    m = np.asarray(segment_mean(jnp.asarray(data), jnp.asarray(seg), V,
+                                jnp.asarray(mask)))
+    cnt = np.maximum(np.bincount(seg[mask], minlength=V), 1)[:, None]
+    np.testing.assert_allclose(m, ref / cnt, rtol=1e-5)
+
+    mx = np.asarray(segment_max(jnp.asarray(data), jnp.asarray(seg), V,
+                                jnp.asarray(mask)))
+    for v in range(V):
+        rows = data[mask & (seg == v)]
+        if len(rows):
+            np.testing.assert_allclose(mx[v], rows.max(0), rtol=1e-5)
+
+
+def test_segment_softmax_sums_to_one():
+    rng = np.random.default_rng(1)
+    E, V = 40, 6
+    logits = rng.normal(size=E).astype(np.float32)
+    seg = rng.integers(0, V, E)
+    mask = rng.random(E) > 0.25
+    sm = np.asarray(segment_softmax(jnp.asarray(logits), jnp.asarray(seg), V,
+                                    jnp.asarray(mask)))
+    assert np.all(sm[~mask] == 0)
+    for v in range(V):
+        tot = sm[mask & (seg == v)].sum()
+        if (mask & (seg == v)).any():
+            assert abs(tot - 1.0) < 1e-5
+
+
+def test_gather_rows():
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(100, 16)).astype(np.float32)
+    ids = rng.integers(0, 100, 33)
+    out = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(ids)))
+    np.testing.assert_array_equal(out, table[ids])

@@ -1,0 +1,191 @@
+"""Sampler correctness tests, modeled on the reference's strategy
+(tests/cpp/test_quiver_cpu.cpp:9-75 `is_sample_valid`: sampled neighbors
+must be a subset of the true adjacency with correct counts; distributional
+checks instead of bit-exact RNG parity, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quiver_tpu import CSRTopo, NeighborSampler, cal_next_prob
+from quiver_tpu.ops.unique import SENTINEL
+
+
+def simple_graph():
+    """The reference's synthetic test graph pattern: known neighbor sets."""
+    edges = {
+        0: [1, 2, 3, 4, 5],
+        1: [0, 2],
+        2: [0],
+        3: [0, 4],
+        4: [],
+        5: [0, 1, 2, 3, 4],
+    }
+    row = np.concatenate([np.full(len(v), k) for k, v in edges.items()])
+    col = np.concatenate([np.array(v, np.int64) for v in edges.values()])
+    return CSRTopo(edge_index=np.stack([row, col]), num_nodes=6), edges
+
+
+def _check_batch(batch, edges, seeds, sizes):
+    n_id = np.asarray(batch.n_id)
+    n_count = int(batch.n_count)
+    # Seeds first, in order.
+    assert n_id[:len(seeds)].tolist() == list(seeds)
+    # n_id unique among valid entries; sentinel beyond.
+    valid = n_id[:n_count]
+    assert len(set(valid.tolist())) == n_count
+    assert np.all(n_id[n_count:] == int(SENTINEL))
+
+    # adjs are reversed: adjs[0] is the outermost (last-sampled) block.
+    assert len(batch.adjs) == len(sizes)
+    for adj, k in zip(batch.adjs, reversed(list(range(len(sizes))))):
+        pass
+    for li, adj in enumerate(reversed(batch.adjs)):  # inner -> outer
+        k = sizes[li]
+        ei = np.asarray(adj.edge_index)
+        mask = np.asarray(adj.mask)
+        counts = np.asarray(adj.counts)
+        src_cnt, dst_cnt = int(counts[0]), int(counts[1])
+        assert adj.size[1] >= dst_cnt and adj.size[0] >= src_cnt
+        # Per-edge validity: sampled neighbor must be a true neighbor.
+        per_row = {}
+        for e in np.where(mask)[0]:
+            s_local, d_local = int(ei[0, e]), int(ei[1, e])
+            assert d_local < dst_cnt and s_local < src_cnt
+            g_dst = int(n_id[d_local]) if li == len(sizes) - 1 else None
+            per_row.setdefault(d_local, []).append(s_local)
+        # count caps: <= k sampled per row (uniform w/o replacement)
+        for d, ss in per_row.items():
+            assert len(ss) <= k
+
+
+@pytest.mark.parametrize("mode", ["TPU", "CPU"])
+def test_sample_subset_validity(mode):
+    topo, edges = simple_graph()
+    sizes = [3, 2]
+    s = NeighborSampler(topo, sizes, mode=mode, seed=0)
+    seeds = [0, 5, 4]
+    batch = s.sample(seeds)
+    n_id = np.asarray(batch.n_id)
+
+    _check_batch(batch, edges, seeds, sizes)
+
+    # Subset validity on every layer: each sampled edge (src,dst) must be a
+    # true edge dst->src in the original graph, with correct per-row counts.
+    for li, adj in enumerate(reversed(batch.adjs)):  # inner first
+        k = sizes[li]
+        ei = np.asarray(adj.edge_index)
+        mask = np.asarray(adj.mask)
+        rows = {}
+        for e in np.where(mask)[0]:
+            rows.setdefault(int(ei[1, e]), []).append(int(ei[0, e]))
+        for d_local, s_locals in rows.items():
+            g_dst = int(n_id[d_local])
+            true_nbrs = set(edges[g_dst])
+            got = [int(n_id[s]) for s in s_locals]
+            assert set(got) <= true_nbrs
+            expect = min(len(true_nbrs), k)
+            assert len(got) == expect, (g_dst, got, true_nbrs)
+            # w/o replacement: no duplicate neighbors for one row
+            assert len(set(got)) == len(got)
+        # rows with deg 0 (node 4) must produce no edges
+        for d_local in range(int(adj.counts[1])):
+            if int(n_id[d_local]) == 4:
+                assert d_local not in rows
+
+
+def test_sample_uniformity():
+    """High-degree row sampled many times -> each neighbor picked ~k/deg."""
+    deg, k, trials = 10, 3, 2000
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=deg + 1)
+    s = NeighborSampler(topo, [k], mode="TPU", seed=0)
+    counts = np.zeros(deg + 1)
+    for _ in range(trials):
+        b = s.sample([0])
+        adj = b.adjs[0]
+        ei = np.asarray(b.n_id)[np.asarray(adj.edge_index[0])]
+        counts[ei[np.asarray(adj.mask)]] += 1
+    freq = counts[1:] / trials
+    np.testing.assert_allclose(freq, k / deg, atol=0.05)
+
+
+def test_weighted_sampling_distribution():
+    deg, k, trials = 4, 1, 4000
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    w = np.array([1.0, 1.0, 2.0, 4.0], np.float32)
+    topo = CSRTopo(edge_index=np.stack([row, col]), edge_weight=w,
+                   num_nodes=deg + 1)
+    s = NeighborSampler(topo, [k], mode="TPU", weighted=True, seed=0)
+    counts = np.zeros(deg + 1)
+    for _ in range(trials):
+        b = s.sample([0])
+        adj = b.adjs[0]
+        gl = np.asarray(b.n_id)[np.asarray(adj.edge_index[0])]
+        counts[gl[np.asarray(adj.mask)]] += 1
+    freq = counts[1:] / counts.sum()
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.05)
+
+
+def test_cal_next_prob_matches_bruteforce():
+    """Verify the analytic hop-probability against the reference formula
+    computed in numpy (cal_next semantics, cuda_random.cu.hpp:72-104)."""
+    topo, edges = simple_graph()
+    k = 2
+    p0 = np.zeros(6, np.float32)
+    p0[[0, 5]] = 1.0
+    got = np.asarray(cal_next_prob(jnp.asarray(topo.indptr, jnp.int32),
+                                   jnp.asarray(topo.indices, jnp.int32),
+                                   jnp.asarray(p0), k))
+    deg = topo.degree
+    expect = np.zeros(6, np.float32)
+    for v in range(6):
+        if deg[v] == 0:
+            continue
+        acc = 1.0
+        for u in edges[v]:
+            du = deg[u]
+            if du == 0:
+                skip = 1.0
+            elif du <= k:
+                skip = 1.0 - p0[u]
+            else:
+                skip = 1.0 - p0[u] * k / du
+            acc *= skip
+        expect[v] = 1.0 - (1.0 - p0[v]) * acc
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_prob_monotone():
+    topo, _ = simple_graph()
+    s = NeighborSampler(topo, [2, 2], mode="TPU")
+    p = np.asarray(s.sample_prob([0], 6))
+    assert p.shape == (6,)
+    assert np.all(p >= 0) and np.all(p <= 1)
+    assert p[0] > 0  # seeds stay accessed (deg(0) > 0)
+
+
+def test_large_random_graph_sampling():
+    """Random graph: every layer's unique count fits capacity, ids valid."""
+    rng = np.random.default_rng(0)
+    n, e = 500, 5000
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=n)
+    s = NeighborSampler(topo, [5, 3], mode="TPU", seed=1)
+    seeds = rng.choice(n, 32, replace=False)
+    b = s.sample(seeds)
+    n_id = np.asarray(b.n_id)
+    n_count = int(b.n_count)
+    assert np.all(n_id[:n_count] < n) and np.all(n_id[:n_count] >= 0)
+    adj_sets = {v: set(topo.indices[topo.indptr[v]:topo.indptr[v + 1]].tolist())
+                for v in range(n)}
+    for adj in b.adjs:
+        ei = np.asarray(adj.edge_index)
+        mask = np.asarray(adj.mask)
+        g_src = n_id[ei[0][mask]]
+        g_dst = n_id[ei[1][mask]]
+        for gs, gd in zip(g_src.tolist(), g_dst.tolist()):
+            assert gs in adj_sets[gd]
