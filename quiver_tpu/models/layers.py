@@ -1,0 +1,129 @@
+"""GNN layers over sampled bipartite blocks (static shapes, mask-correct).
+
+The reference delegates models to PyG (SAGEConv/GATConv used in
+examples/pyg/reddit_quiver.py:99, benchmarks/ogbn-mag240m); the TPU
+build owns its model zoo (SURVEY.md §7 step 3). Layers implement PyG's
+documented math exactly so per-layer activations are allclose to a PyG
+oracle:
+
+  SAGEConv (mean aggr):  out = lin_l(mean_{j in N(i)} x_j) + lin_r(x_i)
+                         (lin_l with bias, lin_r without — PyG defaults)
+  GATConv:               e_ij = LeakyReLU(a_s . (W x_j) + a_d . (W x_i))
+                         alpha = softmax_j(e_ij); out_i = sum alpha W x_j
+                         (+ bias; no self-loops on bipartite blocks,
+                         matching PyG's bipartite behavior)
+  RGCNConv (mean aggr):  out_i = W_root x_i + sum_r mean_{j in N_r(i)} W_r x_j
+
+Each layer takes (x_src, adj) where ``adj`` is a ``quiver_tpu.Adj``
+block: edge_index[0]=src local id, edge_index[1]=dst local id,
+``mask`` kills padded lanes, ``size=(src_cap, dst_cap)``. Destination
+nodes are the first ``size[1]`` rows of ``x_src`` (seeds-first
+ordering from the sampler).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import segment_mean, segment_sum, segment_max, segment_softmax
+
+
+class SAGEConv(nn.Module):
+    out_features: int
+    aggr: str = "mean"            # mean | sum | max
+    root_weight: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_src, adj):
+        src, dst = adj.edge_index[0], adj.edge_index[1]
+        dst_cap = adj.size[1]
+        msgs = jnp.take(x_src, src, axis=0)
+        if self.aggr == "mean":
+            agg = segment_mean(msgs, dst, dst_cap, adj.mask)
+        elif self.aggr == "sum":
+            agg = segment_sum(msgs, dst, dst_cap, adj.mask)
+        elif self.aggr == "max":
+            agg = segment_max(msgs, dst, dst_cap, adj.mask)
+            agg = jnp.where(jnp.isfinite(agg), agg, 0)
+        else:
+            raise ValueError(f"unknown aggr {self.aggr!r}")
+        out = nn.Dense(self.out_features, use_bias=self.use_bias,
+                       name="lin_l")(agg)
+        if self.root_weight:
+            out = out + nn.Dense(self.out_features, use_bias=False,
+                                 name="lin_r")(x_src[:dst_cap])
+        return out
+
+
+class GATConv(nn.Module):
+    out_features: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_src, adj):
+        H, C = self.heads, self.out_features
+        src, dst = adj.edge_index[0], adj.edge_index[1]
+        dst_cap = adj.size[1]
+
+        xw = nn.Dense(H * C, use_bias=False, name="lin")(x_src)
+        xw = xw.reshape(-1, H, C)
+        att_src = self.param("att_src", nn.initializers.glorot_uniform(),
+                             (1, H, C))
+        att_dst = self.param("att_dst", nn.initializers.glorot_uniform(),
+                             (1, H, C))
+        a_s = (xw * att_src).sum(-1)          # [N, H]
+        a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
+
+        e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        alpha = segment_softmax(e, dst, dst_cap, adj.mask)      # [E, H]
+        msgs = jnp.take(xw, src, axis=0) * alpha[..., None]     # [E, H, C]
+        out = segment_sum(msgs, dst, dst_cap, adj.mask)         # [dst, H, C]
+
+        if self.concat:
+            out = out.reshape(dst_cap, H * C)
+        else:
+            out = out.mean(axis=1)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (H * C if self.concat else C,))
+            out = out + bias
+        return out
+
+
+class RGCNConv(nn.Module):
+    """Relational GCN over typed edges (heterogeneous graphs, MAG240M-style).
+
+    ``adj.e_id`` is reinterpreted by the caller into ``edge_type`` passed
+    explicitly; messages are transformed per relation.
+    """
+    out_features: int
+    num_relations: int
+    root_weight: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_src, adj, edge_type):
+        src, dst = adj.edge_index[0], adj.edge_index[1]
+        dst_cap = adj.size[1]
+        R = self.num_relations
+        w = self.param("rel_weight", nn.initializers.glorot_uniform(),
+                       (R, x_src.shape[-1], self.out_features))
+        out = jnp.zeros((dst_cap, self.out_features), x_src.dtype)
+        msgs = jnp.take(x_src, src, axis=0)
+        for r in range(R):
+            m = adj.mask & (edge_type == r)
+            agg = segment_mean(msgs, dst, dst_cap, m)
+            out = out + agg @ w[r]
+        if self.root_weight:
+            out = out + nn.Dense(self.out_features, use_bias=False,
+                                 name="lin_root")(x_src[:dst_cap])
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.out_features,))
+        return out

@@ -25,8 +25,9 @@ than HBM are handled by edge partitioning across hosts (see
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +42,20 @@ from .kernels import (
 )
 
 
-class Adj(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("edge_index", "e_id", "mask", "counts"),
+                   meta_fields=("size",))
+@dataclasses.dataclass(frozen=True)
+class Adj:
     """One sampled bipartite block (parity with reference Adj, sage_sampler.py:21).
 
     ``edge_index[0]`` = source local id (sampled neighbor),
     ``edge_index[1]`` = target local id (frontier position); messages flow
     source -> target, matching PyG's convention after the reference's
     row/col flip (sage_sampler.py:136-144).
+
+    Registered as a pytree with ``size`` as *static* metadata so the
+    block can cross a ``jit`` boundary without tracing its shapes.
     """
 
     edge_index: jnp.ndarray   # [2, E] int32
@@ -57,7 +65,11 @@ class Adj(NamedTuple):
     counts: jnp.ndarray       # [2] int32 dynamic (src_count, dst_count)
 
 
-class SampledBatch(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("n_id", "n_count", "seed_count", "adjs"),
+                   meta_fields=("batch_size",))
+@dataclasses.dataclass(frozen=True)
+class SampledBatch:
     n_id: jnp.ndarray         # [C_final] int32 global ids, seeds first
     n_count: jnp.ndarray      # scalar int32: number of valid n_id entries
     batch_size: int           # static padded seed-slot count

@@ -1,0 +1,166 @@
+"""Model-layer parity tests: per-layer activations allclose vs a numpy
+oracle implementing PyG's documented formulas (the north-star parity
+check, SURVEY.md §7 step 3), plus an end-to-end learning test on a
+planted-community graph (analogue of the reference's accuracy checks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quiver_tpu import CSRTopo, NeighborSampler
+from quiver_tpu.models import SAGEConv, GATConv, GraphSAGE
+from quiver_tpu.models.nets import full_graph_adj
+from quiver_tpu.sampling.sampler import Adj
+
+
+def _rand_block(rng, n_src, n_dst, n_edges, d):
+    src = rng.integers(0, n_src, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_dst, n_edges).astype(np.int32)
+    mask = rng.random(n_edges) > 0.2
+    x = rng.normal(size=(n_src, d)).astype(np.float32)
+    adj = Adj(edge_index=jnp.asarray(np.stack([src, dst])),
+              e_id=jnp.arange(n_edges, dtype=jnp.int32),
+              mask=jnp.asarray(mask),
+              size=(n_src, n_dst),
+              counts=jnp.array([n_src, n_dst], np.int32))
+    return x, adj, src, dst, mask
+
+
+def _np_sage(x, src, dst, mask, n_dst, Wl, bl, Wr):
+    """PyG SAGEConv oracle: lin_l(mean_j x_j) + lin_r(x_i)."""
+    d_out = Wl.shape[1]
+    agg = np.zeros((n_dst, x.shape[1]), np.float32)
+    cnt = np.zeros(n_dst, np.float32)
+    for e in range(len(src)):
+        if mask[e]:
+            agg[dst[e]] += x[src[e]]
+            cnt[dst[e]] += 1
+    agg = agg / np.maximum(cnt, 1)[:, None]
+    return agg @ Wl + bl + x[:n_dst] @ Wr
+
+
+def test_sageconv_matches_pyg_oracle():
+    rng = np.random.default_rng(0)
+    x, adj, src, dst, mask = _rand_block(rng, 30, 10, 100, 8)
+    layer = SAGEConv(16)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), adj)
+    out = np.asarray(layer.apply(params, jnp.asarray(x), adj))
+
+    p = params["params"]
+    Wl = np.asarray(p["lin_l"]["kernel"])
+    bl = np.asarray(p["lin_l"]["bias"])
+    Wr = np.asarray(p["lin_r"]["kernel"])
+    ref = _np_sage(x, src, dst, mask, 10, Wl, bl, Wr)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gatconv_matches_pyg_oracle():
+    rng = np.random.default_rng(1)
+    H, C, D = 2, 5, 7
+    x, adj, src, dst, mask = _rand_block(rng, 20, 8, 60, D)
+    layer = GATConv(C, heads=H, concat=True)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), adj)
+    out = np.asarray(layer.apply(params, jnp.asarray(x), adj))
+
+    p = params["params"]
+    W = np.asarray(p["lin"]["kernel"])              # [D, H*C]
+    a_s = np.asarray(p["att_src"]).reshape(H, C)
+    a_d = np.asarray(p["att_dst"]).reshape(H, C)
+    bias = np.asarray(p["bias"])
+    xw = (x @ W).reshape(-1, H, C)
+    alpha_s = (xw * a_s).sum(-1)                    # [N, H]
+    alpha_d = (xw[:8] * a_d).sum(-1)                # [8, H]
+    ref = np.zeros((8, H, C), np.float32)
+    for i in range(8):
+        es = [e for e in range(len(src)) if mask[e] and dst[e] == i]
+        if not es:
+            continue
+        logits = np.array([alpha_s[src[e]] + alpha_d[i] for e in es])
+        logits = np.where(logits > 0, logits, 0.2 * logits)  # leaky relu
+        w = np.exp(logits - logits.max(0))
+        w = w / w.sum(0)
+        for h in range(H):
+            ref[i, :, :][h] = sum(w[j, h] * xw[src[es[j]], h]
+                                  for j in range(len(es)))
+    ref = ref.reshape(8, H * C) + bias
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def _community_graph(rng, n=200, classes=4, d=16, p_in=0.2, p_out=0.01):
+    labels = rng.integers(0, classes, n)
+    rows, cols = [], []
+    for i in range(n):
+        same = np.where(labels == labels[i])[0]
+        diff = np.where(labels != labels[i])[0]
+        rows += [i] * 6
+        cols += list(rng.choice(same, 5)) + [int(rng.choice(diff))]
+    feat = np.eye(classes, dtype=np.float32)[labels]
+    feat = feat + rng.normal(scale=0.5, size=(n, classes)).astype(np.float32)
+    feat = np.concatenate(
+        [feat, rng.normal(size=(n, d - classes)).astype(np.float32)], 1)
+    topo = CSRTopo(edge_index=np.stack([np.array(rows), np.array(cols)]),
+                   num_nodes=n)
+    return topo, feat, labels
+
+
+def test_end_to_end_training_learns():
+    """2-layer GraphSAGE on a planted-community graph must beat 90% train
+    accuracy in a few hundred steps (e2e slice, SURVEY.md §7 step 3)."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    topo, feat, labels = _community_graph(rng)
+    n = topo.node_count
+    sampler = NeighborSampler(topo, [5, 5], mode="TPU", seed=0)
+    model = GraphSAGE(hidden_features=32, out_features=4, num_layers=2,
+                      dropout=0.0)
+
+    batch = sampler.sample(np.arange(64))
+    x0 = jnp.asarray(feat)[jnp.clip(batch.n_id, 0, n - 1)]
+    params = model.init(jax.random.PRNGKey(0), x0, batch.adjs)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, adjs, y, w):
+        def loss_fn(p):
+            logits = model.apply(p, x, adjs)[:y.shape[0]]
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return (ls * w).sum() / jnp.maximum(w.sum(), 1), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, logits
+
+    feat_j = jnp.asarray(feat)
+    labels_j = jnp.asarray(labels)
+    accs = []
+    for it in range(120):
+        seeds = rng.choice(n, 64, replace=False)
+        b = sampler.sample(seeds)
+        x = feat_j[jnp.clip(b.n_id, 0, n - 1)]
+        y = labels_j[jnp.asarray(seeds)]
+        w = jnp.ones(64, jnp.float32)
+        params, opt_state, loss, logits = step(params, opt_state, x,
+                                               b.adjs, y, w)
+        accs.append(float((logits.argmax(-1) == y).mean()))
+    assert np.mean(accs[-10:]) > 0.9, np.mean(accs[-10:])
+
+
+def test_full_graph_adj_inference_matches_sampled_all_neighbors():
+    """Sampling with fanout >= max degree must equal full-graph propagation."""
+    rng = np.random.default_rng(3)
+    topo, feat, labels = _community_graph(rng, n=60)
+    model = GraphSAGE(hidden_features=8, out_features=4, num_layers=2,
+                      dropout=0.0)
+    fadj = full_graph_adj(topo.indptr, topo.indices)
+    x = jnp.asarray(feat)
+    params = model.init(jax.random.PRNGKey(0), x, (fadj, fadj))
+    full_out = np.asarray(model.apply(params, x, (fadj, fadj)))
+
+    sampler = NeighborSampler(topo, [10, 10], mode="TPU", seed=0)  # deg=6<10
+    seeds = np.arange(16)
+    b = sampler.sample(seeds)
+    xb = x[jnp.clip(b.n_id, 0, topo.node_count - 1)]
+    out = np.asarray(model.apply(params, xb, b.adjs))[:16]
+    np.testing.assert_allclose(out, full_out[:16], rtol=1e-3, atol=1e-4)
