@@ -1,9 +1,11 @@
-from .unique import union_reindex
+from .unique import union_reindex, union_reindex_dense, union_reindex_fused
 from .segment import segment_sum, segment_mean, segment_max, segment_softmax
 from .gather import gather_rows, gather_rows_pallas
 
 __all__ = [
     "union_reindex",
+    "union_reindex_dense",
+    "union_reindex_fused",
     "segment_sum",
     "segment_mean",
     "segment_max",

@@ -33,7 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.unique import union_reindex, SENTINEL
+from ..ops.unique import (union_reindex, union_reindex_dense,
+                          union_reindex_fused, SENTINEL)
+
+# Below this node count the O(V) scatter-based dedup beats the
+# O(T log T) sort-based one (and compiles far faster); above it the
+# V-sized tables start to dominate HBM traffic.
+DENSE_REINDEX_MAX_NODES = 1 << 24
 from .kernels import (
     sample_adjacency,
     weighted_sample_adjacency,
@@ -92,10 +98,10 @@ def _layer_capacities(batch_size: int, sizes: Sequence[int],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sizes", "caps", "batch_size", "weighted"),
+    static_argnames=("sizes", "caps", "batch_size", "weighted", "num_nodes"),
 )
 def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
-                   sizes, caps, batch_size, weighted):
+                   sizes, caps, batch_size, weighted, num_nodes):
     """Jitted multi-layer sample + union/reindex. All shapes static."""
     frontier = jnp.full((batch_size,), SENTINEL, jnp.int32)
     frontier = jax.lax.dynamic_update_slice(frontier, seeds.astype(jnp.int32), (0,))
@@ -114,7 +120,7 @@ def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
                 indptr, indices, frontier, f_valid, k, sub)
 
         cap = caps[li]
-        out_ids, out_count, cand_local, cand_ok = union_reindex(
+        out_ids, out_count, cand_local, cand_ok = union_reindex_fused(
             frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap)
 
         # Edges: target local id = frontier slot (base ids keep 0..F-1),
@@ -211,7 +217,7 @@ class NeighborSampler:
             self.indptr, self.indices, self.row_cdf,
             jnp.asarray(pad), jnp.int32(n), sub,
             sizes=self.sizes, caps=caps, batch_size=bs,
-            weighted=self.weighted)
+            weighted=self.weighted, num_nodes=self.csr_topo.node_count)
 
         adjs = []
         f_cap = bs

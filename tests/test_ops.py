@@ -67,6 +67,62 @@ def test_union_reindex_capacity_overflow():
     assert ok[:6].all() and not ok[6:].any()
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_union_reindex_dense_matches_contract(seed):
+    """Dense variant: base keeps 0..B-1; new ids in ascending-id order;
+    cand_local consistent with out_ids; overflow drops largest ids."""
+    from quiver_tpu.ops import union_reindex_dense
+
+    rng = np.random.default_rng(seed)
+    V = 200
+    base = rng.choice(V, size=6, replace=False).astype(np.int32)
+    cand = rng.integers(0, V, size=40).astype(np.int32)
+    valid = rng.random(40) > 0.2
+    cap = 32
+    out_ids, out_count, cand_local, cand_ok = jax.jit(
+        union_reindex_dense, static_argnames=("capacity", "num_nodes"))(
+            jnp.asarray(base), jnp.int32(6), jnp.asarray(cand),
+            jnp.asarray(valid), capacity=cap, num_nodes=V)
+
+    new_ids = sorted(set(cand[valid].tolist()) - set(base.tolist()))
+    expect = base.tolist() + new_ids
+    oc = int(out_count)
+    assert oc == min(len(expect), cap)
+    got = np.asarray(out_ids)
+    assert got[:oc].tolist() == expect[:oc]
+    assert np.all(got[oc:] == int(SENTINEL))
+    # every ok candidate maps to its id's slot in out_ids
+    cl, ok = np.asarray(cand_local), np.asarray(cand_ok)
+    for i in range(40):
+        if ok[i]:
+            assert got[cl[i]] == cand[i]
+        elif valid[i]:
+            assert cand[i] in expect[cap:]  # dropped by overflow
+
+
+def test_union_dense_equals_sort_modulo_order():
+    rng = np.random.default_rng(7)
+    V = 500
+    base = rng.choice(V, 8, replace=False).astype(np.int32)
+    cand = rng.integers(0, V, 64).astype(np.int32)
+    valid = np.ones(64, bool)
+    from quiver_tpu.ops import union_reindex_dense
+
+    o1 = union_reindex(jnp.asarray(base), jnp.int32(8), jnp.asarray(cand),
+                       jnp.asarray(valid), capacity=128)
+    o2 = union_reindex_dense(jnp.asarray(base), jnp.int32(8),
+                             jnp.asarray(cand), jnp.asarray(valid),
+                             capacity=128, num_nodes=V)
+    assert int(o1[1]) == int(o2[1])
+    n = int(o1[1])
+    assert set(np.asarray(o1[0])[:n].tolist()) == \
+        set(np.asarray(o2[0])[:n].tolist())
+    # both consistently map candidates onto their own tables
+    for out_ids, _, cl, ok in (o1, o2):
+        out_ids, cl, ok = map(np.asarray, (out_ids, cl, ok))
+        assert np.all(out_ids[cl[ok]] == cand[ok])
+
+
 def test_segment_ops_against_numpy():
     rng = np.random.default_rng(0)
     E, V, D = 64, 10, 3
@@ -116,3 +172,31 @@ def test_gather_rows():
     ids = rng.integers(0, 100, 33)
     out = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(ids)))
     np.testing.assert_array_equal(out, table[ids])
+
+
+def test_union_reindex_fused_matches_dense():
+    from quiver_tpu.ops import union_reindex_dense, union_reindex_fused
+
+    rng = np.random.default_rng(11)
+    V = 300
+    for trial in range(3):
+        B, M, cap = 16, 96, 64
+        bc = rng.integers(4, B + 1)
+        base = rng.choice(V, B, replace=False).astype(np.int32)
+        cand = rng.integers(0, V, M).astype(np.int32)
+        valid = rng.random(M) > 0.3
+        a = union_reindex_dense(jnp.asarray(base), jnp.int32(bc),
+                                jnp.asarray(cand), jnp.asarray(valid),
+                                capacity=cap, num_nodes=V)
+        b = union_reindex_fused(jnp.asarray(base), jnp.int32(bc),
+                                jnp.asarray(cand), jnp.asarray(valid),
+                                capacity=cap)
+        # identical contract incl. ascending-id order of new ids
+        assert int(a[1]) == int(b[1])
+        n = int(a[1])
+        np.testing.assert_array_equal(np.asarray(a[0])[:n],
+                                      np.asarray(b[0])[:n])
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        ok = np.asarray(a[3])
+        np.testing.assert_array_equal(np.asarray(a[2])[ok],
+                                      np.asarray(b[2])[ok])
