@@ -49,8 +49,30 @@ def build_graph():
     return indptr, indices
 
 
+def measure(sampler, node_count, iters=20, batch=BATCH, seed=1):
+    import jax
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    b = sampler.sample(np.arange(batch))
+    jax.block_until_ready(b.n_id)
+    compile_s = time.time() - t0
+
+    seed_sets = [rng.integers(0, node_count, batch) for _ in range(iters)]
+    t0 = time.time()
+    batches = [sampler.sample(s) for s in seed_sets]
+    jax.block_until_ready(batches[-1].n_id)
+    dt = time.time() - t0
+    edges = sum(int(np.asarray(a.mask).sum()) for bb in batches
+                for a in bb.adjs)
+    return edges / dt, compile_s, edges // iters
+
+
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from quiver_tpu import CSRTopo, NeighborSampler
 
     t0 = time.time()
@@ -60,35 +82,26 @@ def main():
                      f"{topo.node_count} nodes {topo.edge_count} edges, "
                      f"devices={jax.devices()}\n")
 
-    sampler = NeighborSampler(topo, FANOUT, mode="TPU", seed=0)
-    rng = np.random.default_rng(1)
+    # Headline: the default (dense positional, dedup-free) pipeline.
+    dense = NeighborSampler(topo, FANOUT, mode="TPU", seed=0, dedup="none")
+    seps, comp, epb = measure(dense, topo.node_count, iters=50)
+    sys.stderr.write(f"dense pipeline: {seps/1e6:.2f}M SEPS "
+                     f"({epb} edges/batch, compile {comp:.1f}s)\n")
 
-    def one(seeds):
-        return sampler.sample(seeds)
+    # Secondary: reference-contract (per-hop dedup, unique n_id) pipeline.
+    strict = NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
+                             dedup="per_hop")
+    seps2, comp2, _ = measure(strict, topo.node_count, iters=10)
+    sys.stderr.write(f"per-hop-dedup pipeline: {seps2/1e6:.2f}M SEPS "
+                     f"(compile {comp2:.1f}s)\n")
 
-    # warmup / compile
-    t0 = time.time()
-    b = one(np.arange(BATCH))
-    jax.block_until_ready(b.n_id)
-    sys.stderr.write(f"compile+first sample {time.time()-t0:.1f}s\n")
-
-    iters = 20
-    seed_sets = [rng.integers(0, topo.node_count, BATCH) for _ in range(iters)]
-    t0 = time.time()
-    batches = [one(s) for s in seed_sets]
-    jax.block_until_ready(batches[-1].n_id)
-    dt = time.time() - t0
-
-    edges = sum(int(np.asarray(a.mask).sum()) for bb in batches
-                for a in bb.adjs)
-    seps = edges / dt
-    sys.stderr.write(f"{iters} batches in {dt:.2f}s, {edges} edges, "
-                     f"{seps/1e6:.2f}M SEPS\n")
     print(json.dumps({
         "metric": "sample_seps_products_like_f15_10_5_b1024",
         "value": round(seps, 1),
         "unit": "edges/s",
         "vs_baseline": round(seps / BASELINE_SEPS, 4),
+        "strict_dedup_seps": round(seps2, 1),
+        "strict_vs_baseline": round(seps2 / BASELINE_SEPS, 4),
     }))
 
 

@@ -12,6 +12,7 @@ from .sampling import (
     NeighborSampler,
     SampledBatch,
     Adj,
+    DenseBlock,
     sample_adjacency,
     weighted_sample_adjacency,
     cal_next_prob,
@@ -27,6 +28,7 @@ __all__ = [
     "NeighborSampler",
     "SampledBatch",
     "Adj",
+    "DenseBlock",
     "sample_adjacency",
     "weighted_sample_adjacency",
     "cal_next_prob",

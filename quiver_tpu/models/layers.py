@@ -29,6 +29,17 @@ import jax.numpy as jnp
 from ..ops.segment import segment_mean, segment_sum, segment_max, segment_softmax
 
 
+def _is_dense(adj) -> bool:
+    return hasattr(adj, "fanout")
+
+
+def _dense_neighbors(x_src, adj):
+    """[F, k, D] lane features + [F, k, 1] mask for a DenseBlock."""
+    F, k = adj.size[1], adj.fanout
+    lanes = x_src[F:F + F * k].reshape(F, k, -1)
+    return lanes, adj.mask[..., None]
+
+
 class SAGEConv(nn.Module):
     out_features: int
     aggr: str = "mean"            # mean | sum | max
@@ -37,18 +48,35 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x_src, adj):
-        src, dst = adj.edge_index[0], adj.edge_index[1]
         dst_cap = adj.size[1]
-        msgs = jnp.take(x_src, src, axis=0)
-        if self.aggr == "mean":
-            agg = segment_mean(msgs, dst, dst_cap, adj.mask)
-        elif self.aggr == "sum":
-            agg = segment_sum(msgs, dst, dst_cap, adj.mask)
-        elif self.aggr == "max":
-            agg = segment_max(msgs, dst, dst_cap, adj.mask)
-            agg = jnp.where(jnp.isfinite(agg), agg, 0)
+        if _is_dense(adj):
+            # Positional fast path: no edge list, no scatter — a masked
+            # VPU reduction over the fanout axis (the TPU analogue of the
+            # reference's warp-per-row aggregate).
+            lanes, m = _dense_neighbors(x_src, adj)
+            mf = m.astype(x_src.dtype)
+            if self.aggr == "mean":
+                agg = (lanes * mf).sum(1) / jnp.maximum(mf.sum(1), 1)
+            elif self.aggr == "sum":
+                agg = (lanes * mf).sum(1)
+            elif self.aggr == "max":
+                neg = jnp.finfo(x_src.dtype).min
+                agg = jnp.where(m, lanes, neg).max(1)
+                agg = jnp.where(jnp.isfinite(agg), agg, 0)
+            else:
+                raise ValueError(f"unknown aggr {self.aggr!r}")
         else:
-            raise ValueError(f"unknown aggr {self.aggr!r}")
+            src, dst = adj.edge_index[0], adj.edge_index[1]
+            msgs = jnp.take(x_src, src, axis=0)
+            if self.aggr == "mean":
+                agg = segment_mean(msgs, dst, dst_cap, adj.mask)
+            elif self.aggr == "sum":
+                agg = segment_sum(msgs, dst, dst_cap, adj.mask)
+            elif self.aggr == "max":
+                agg = segment_max(msgs, dst, dst_cap, adj.mask)
+                agg = jnp.where(jnp.isfinite(agg), agg, 0)
+            else:
+                raise ValueError(f"unknown aggr {self.aggr!r}")
         out = nn.Dense(self.out_features, use_bias=self.use_bias,
                        name="lin_l")(agg)
         if self.root_weight:
@@ -67,7 +95,6 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, x_src, adj):
         H, C = self.heads, self.out_features
-        src, dst = adj.edge_index[0], adj.edge_index[1]
         dst_cap = adj.size[1]
 
         xw = nn.Dense(H * C, use_bias=False, name="lin")(x_src)
@@ -79,11 +106,25 @@ class GATConv(nn.Module):
         a_s = (xw * att_src).sum(-1)          # [N, H]
         a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
 
-        e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-        alpha = segment_softmax(e, dst, dst_cap, adj.mask)      # [E, H]
-        msgs = jnp.take(xw, src, axis=0) * alpha[..., None]     # [E, H, C]
-        out = segment_sum(msgs, dst, dst_cap, adj.mask)         # [dst, H, C]
+        if _is_dense(adj):
+            # Positional fast path: attention softmax over the fanout
+            # axis — a plain masked softmax, no segment ops.
+            F, k = dst_cap, adj.fanout
+            a_lanes = a_s[F:F + F * k].reshape(F, k, H)
+            e = a_lanes + a_d[:, None, :]
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            e = jnp.where(adj.mask[..., None], e, -jnp.inf)
+            alpha = jax.nn.softmax(e, axis=1)
+            alpha = jnp.where(adj.mask[..., None], alpha, 0)
+            lanes = xw[F:F + F * k].reshape(F, k, H, C)
+            out = (lanes * alpha[..., None]).sum(axis=1)        # [F, H, C]
+        else:
+            src, dst = adj.edge_index[0], adj.edge_index[1]
+            e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            alpha = segment_softmax(e, dst, dst_cap, adj.mask)  # [E, H]
+            msgs = jnp.take(xw, src, axis=0) * alpha[..., None]  # [E, H, C]
+            out = segment_sum(msgs, dst, dst_cap, adj.mask)     # [dst, H, C]
 
         if self.concat:
             out = out.reshape(dst_cap, H * C)

@@ -4,7 +4,7 @@ from .kernels import (
     cal_next_prob,
     build_row_cdf,
 )
-from .sampler import NeighborSampler, SampledBatch, Adj
+from .sampler import NeighborSampler, SampledBatch, Adj, DenseBlock
 
 __all__ = [
     "sample_adjacency",
@@ -14,4 +14,5 @@ __all__ = [
     "NeighborSampler",
     "SampledBatch",
     "Adj",
+    "DenseBlock",
 ]

@@ -22,13 +22,14 @@ def _bucket(n: int) -> int:
 
 class CPUSampler:
     def __init__(self, csr_topo, sizes: Sequence[int], weighted: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, dedup: str = "per_hop"):
         self.indptr = np.asarray(csr_topo.indptr, np.int64)
         self.indices = np.asarray(csr_topo.indices, np.int64)
         self.weight = (None if csr_topo.edge_weight is None
                        else np.asarray(csr_topo.edge_weight, np.float64))
         self.sizes = tuple(int(s) for s in sizes)
         self.weighted = weighted
+        self.dedup = dedup
         self.rng = np.random.default_rng(seed)
 
     def _sample_row(self, v: int, k: int):
@@ -47,9 +48,45 @@ class CPUSampler:
         return s + pos
 
     def sample(self, seeds: np.ndarray):
+        if self.dedup == "none":
+            return self._sample_dense(np.asarray(seeds, np.int64))
+        return self._sample_per_hop(np.asarray(seeds, np.int64))
+
+    def _sample_dense(self, seeds: np.ndarray):
+        """Positional (no-dedup) contract — mirrors _sample_layers_dense."""
+        from .sampler import DenseBlock, SampledBatch
+
+        n = int(seeds.shape[0])
+        bs = _bucket(n)
+        frontier = np.zeros((bs,), np.int64)
+        frontier[:n] = seeds
+        f_valid = np.zeros((bs,), bool)
+        f_valid[:n] = True
+        blocks = []
+        for k in self.sizes:
+            F = frontier.shape[0]
+            mask = np.zeros((F, k), bool)
+            e_id = np.zeros((F, k), np.int64)
+            nbr = np.zeros((F, k), np.int64)
+            for i in np.where(f_valid)[0]:
+                slots = self._sample_row(int(frontier[i]), k)[:k]
+                mask[i, :len(slots)] = True
+                e_id[i, :len(slots)] = slots
+                nbr[i, :len(slots)] = self.indices[slots]
+            blocks.append(DenseBlock(
+                mask=mask, e_id=e_id,
+                dst_count=np.int32(f_valid.sum()),
+                size=(F * (1 + k), F), fanout=k))
+            frontier = np.concatenate([frontier, nbr.reshape(-1)])
+            f_valid = np.concatenate([f_valid, mask.reshape(-1)])
+        return SampledBatch(n_id=frontier.astype(np.int32),
+                            n_count=np.int32(frontier.shape[0]),
+                            batch_size=bs, seed_count=np.int32(n),
+                            adjs=tuple(reversed(blocks)))
+
+    def _sample_per_hop(self, seeds: np.ndarray):
         from .sampler import Adj, SampledBatch, _layer_capacities, SENTINEL
 
-        seeds = np.asarray(seeds, np.int64)
         n = int(seeds.shape[0])
         bs = _bucket(n)
         caps = _layer_capacities(bs, self.sizes, None)

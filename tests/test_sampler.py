@@ -63,7 +63,7 @@ def _check_batch(batch, edges, seeds, sizes):
 def test_sample_subset_validity(mode):
     topo, edges = simple_graph()
     sizes = [3, 2]
-    s = NeighborSampler(topo, sizes, mode=mode, seed=0)
+    s = NeighborSampler(topo, sizes, mode=mode, seed=0, dedup="per_hop")
     seeds = [0, 5, 4]
     batch = s.sample(seeds)
     n_id = np.asarray(batch.n_id)
@@ -100,7 +100,7 @@ def test_sample_uniformity():
     row = np.full(deg, 0)
     col = np.arange(1, deg + 1)
     topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=deg + 1)
-    s = NeighborSampler(topo, [k], mode="TPU", seed=0)
+    s = NeighborSampler(topo, [k], mode="TPU", seed=0, dedup="per_hop")
     counts = np.zeros(deg + 1)
     for _ in range(trials):
         b = s.sample([0])
@@ -118,7 +118,7 @@ def test_weighted_sampling_distribution():
     w = np.array([1.0, 1.0, 2.0, 4.0], np.float32)
     topo = CSRTopo(edge_index=np.stack([row, col]), edge_weight=w,
                    num_nodes=deg + 1)
-    s = NeighborSampler(topo, [k], mode="TPU", weighted=True, seed=0)
+    s = NeighborSampler(topo, [k], mode="TPU", weighted=True, seed=0, dedup="per_hop")
     counts = np.zeros(deg + 1)
     for _ in range(trials):
         b = s.sample([0])
@@ -174,7 +174,7 @@ def test_large_random_graph_sampling():
     row = rng.integers(0, n, e)
     col = rng.integers(0, n, e)
     topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=n)
-    s = NeighborSampler(topo, [5, 3], mode="TPU", seed=1)
+    s = NeighborSampler(topo, [5, 3], mode="TPU", seed=1, dedup="per_hop")
     seeds = rng.choice(n, 32, replace=False)
     b = s.sample(seeds)
     n_id = np.asarray(b.n_id)
@@ -189,3 +189,65 @@ def test_large_random_graph_sampling():
         g_dst = n_id[ei[1][mask]]
         for gs, gd in zip(g_src.tolist(), g_dst.tolist()):
             assert gs in adj_sets[gd]
+
+
+@pytest.mark.parametrize("mode", ["TPU", "CPU"])
+def test_dense_mode_subset_validity(mode):
+    """dedup='none' positional contract: lane (i,j) of a block is a true
+    neighbor of the i-th frontier row; n_id layout [dst rows | lanes]."""
+    topo, edges = simple_graph()
+    sizes = [3, 2]
+    s = NeighborSampler(topo, sizes, mode=mode, seed=0, dedup="none")
+    seeds = [0, 5, 4]
+    b = s.sample(seeds)
+    n_id = np.asarray(b.n_id)
+    assert n_id[:3].tolist() == seeds
+    blocks = list(reversed(b.adjs))  # inner -> outer
+    F = b.batch_size
+    for li, blk in enumerate(blocks):
+        k = sizes[li]
+        assert blk.size == (F * (1 + k), F)
+        mask = np.asarray(blk.mask)
+        eid = np.asarray(blk.e_id)
+        for i in range(F):
+            gid = int(n_id[i])
+            # valid dst row iff its id is a real row (masked rows clamp to 0)
+            for j in range(k):
+                if mask[i, j]:
+                    lane_row = F + i * k + j
+                    nbr = int(n_id[lane_row])
+                    assert nbr in edges[gid]
+                    # e_id is the CSR slot of that edge
+                    sl = int(eid[i, j])
+                    assert int(topo.indices[sl]) == nbr
+                    lo, hi = topo.indptr[gid], topo.indptr[gid + 1]
+                    assert lo <= sl < hi
+            # fanout-capped count of valid lanes for real rows
+            if gid in edges and i < int(blk.dst_count):
+                deg = len(edges[gid])
+                expect = min(deg, k) if (li > 0 or i < 3) else None
+        F = F * (1 + k)
+
+
+def test_dense_mode_matches_per_hop_training_math():
+    """Full fanout (k >= max degree): dense-mode model output must equal
+    per-hop-dedup model output exactly (same params, deterministic)."""
+    import jax.numpy as jnp
+    from quiver_tpu.models import GraphSAGE
+
+    topo, edges = simple_graph()
+    feat = np.eye(6, dtype=np.float32)
+    model = GraphSAGE(hidden_features=8, out_features=3, num_layers=2,
+                      dropout=0.0)
+    outs = {}
+    for dd in ("none", "per_hop"):
+        s = NeighborSampler(topo, [6, 6], mode="TPU", seed=0, dedup=dd)
+        b = s.sample([0, 5])
+        x = jnp.asarray(feat)[np.clip(np.asarray(b.n_id), 0, 5)]
+        params = outs.get("params")
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0), x, b.adjs)
+            outs["params"] = params
+        outs[dd] = np.asarray(model.apply(params, x, b.adjs))[:2]
+    np.testing.assert_allclose(outs["none"], outs["per_hop"],
+                               rtol=1e-4, atol=1e-5)
