@@ -1,0 +1,132 @@
+"""Access-probability-driven node/feature partitioning across hosts.
+
+Rebuild of the reference's ``srcs/python/quiver/partition.py``:
+``partition_without_replication`` (partition.py:16-80) greedily assigns
+chunks of nodes to the host whose sampling probability gain is largest
+(own probability minus everyone else's), balancing shard sizes;
+``quiver_partition_feature`` (partition.py:163-249) materializes on-disk
+partition artifacts; ``load_quiver_feature_partition``
+(partition.py:252-283) restores them. Probabilities come from
+``NeighborSampler.sample_prob`` (the ``cal_next`` chain).
+
+Pure numpy — this is offline preprocessing, not a hot path.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+CHUNK_SIZE = 256  # reference partition.py:12
+
+__all__ = [
+    "partition_without_replication",
+    "select_nodes",
+    "partition_feature_without_replication",
+    "quiver_partition_feature",
+    "load_quiver_feature_partition",
+]
+
+
+def select_nodes(probs: Sequence[np.ndarray]):
+    """Union of nodes any host accesses with nonzero probability
+    (reference select_nodes partition.py:83-92)."""
+    total = np.zeros_like(np.asarray(probs[0]))
+    for p in probs:
+        total = total + np.asarray(p)
+    return np.nonzero(total > 0)[0]
+
+
+def partition_without_replication(probs: Sequence[np.ndarray],
+                                  ids: Optional[np.ndarray] = None
+                                  ) -> List[np.ndarray]:
+    """Chunked greedy partition of ``ids`` over ``len(probs)`` hosts.
+
+    Per chunk of 256 ids (sorted by total access probability, densest
+    first — reference partition.py:16-80), each host scores
+    ``own_prob - sum(other_probs)``; the host with the highest score that
+    is not over-filled takes the chunk. Returns per-host id arrays.
+    """
+    probs = [np.asarray(p, np.float64) for p in probs]
+    H = len(probs)
+    if ids is None:
+        ids = select_nodes(probs)
+    ids = np.asarray(ids)
+    n = ids.shape[0]
+    if n == 0:
+        return [np.empty(0, np.int64) for _ in range(H)]
+
+    total = np.zeros(n, np.float64)
+    per_host = np.stack([p[ids] for p in probs])      # [H, n]
+    total = per_host.sum(0)
+    order = np.argsort(-total, kind="stable")
+    ids_sorted = ids[order]
+    per_host = per_host[:, order]
+
+    assigned: List[list] = [[] for _ in range(H)]
+    quota = -(-n // H)
+    for s in range(0, n, CHUNK_SIZE):
+        chunk = slice(s, min(s + CHUNK_SIZE, n))
+        gain = per_host[:, chunk].sum(1)
+        score = 2 * gain - gain.sum()                  # own - others
+        for h in np.argsort(-score):
+            if len(assigned[h]) + (chunk.stop - chunk.start) <= quota + CHUNK_SIZE:
+                assigned[h].extend(ids_sorted[chunk].tolist())
+                break
+    return [np.asarray(a, np.int64) for a in assigned]
+
+
+def partition_feature_without_replication(probs, ids=None):
+    """Reference partition_feature_without_replication partition.py:95-160
+    — same algorithm, returns (per-host ids, per-host probs)."""
+    parts = partition_without_replication(probs, ids)
+    res_probs = [np.asarray(probs[h])[parts[h]] for h in range(len(probs))]
+    return parts, res_probs
+
+
+def quiver_partition_feature(probs, result_path: str,
+                             cache_memory_budget=0,
+                             per_feature_size=0,
+                             chunk_size: int = CHUNK_SIZE):
+    """Partition + write on-disk artifacts (reference partition.py:163-249):
+
+      result_path/
+        partition_book.npy       global id -> host
+        feature_partition_{h}.npy   per-host id list
+        cache_order_{h}.npy      per-host ids sorted hot-first
+    """
+    from .utils import parse_size
+
+    os.makedirs(result_path, exist_ok=True)
+    H = len(probs)
+    parts = partition_without_replication(probs)
+    V = np.asarray(probs[0]).shape[0]
+    book = np.full(V, -1, np.int64)
+    for h, ids in enumerate(parts):
+        book[ids] = h
+    np.save(os.path.join(result_path, "partition_book.npy"), book)
+
+    cache_rows = 0
+    if cache_memory_budget and per_feature_size:
+        cache_rows = parse_size(cache_memory_budget) // max(
+            parse_size(per_feature_size), 1)
+
+    cache_orders = []
+    for h, ids in enumerate(parts):
+        p = np.asarray(probs[h])[ids]
+        order = ids[np.argsort(-p, kind="stable")]
+        np.save(os.path.join(result_path, f"feature_partition_{h}.npy"), ids)
+        np.save(os.path.join(result_path, f"cache_order_{h}.npy"),
+                order[:cache_rows] if cache_rows else order)
+        cache_orders.append(order)
+    return parts, book, cache_orders
+
+
+def load_quiver_feature_partition(result_path: str, host: int):
+    """Reference load_quiver_feature_partition partition.py:252-283."""
+    book = np.load(os.path.join(result_path, "partition_book.npy"))
+    ids = np.load(os.path.join(result_path,
+                               f"feature_partition_{host}.npy"))
+    order = np.load(os.path.join(result_path, f"cache_order_{host}.npy"))
+    return book, ids, order

@@ -1,0 +1,151 @@
+"""Feature store tests — gather vs numpy ground truth (reference
+test_shard_tensor.py:44-80, test_features.py:298-344), hot/cold tiering,
+mmap disk tier, and the multi-host DistFeature exchange on the virtual
+8-device mesh (reference test_comm.py:281-343)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quiver_tpu import CSRTopo
+from quiver_tpu.feature import Feature, PartitionInfo, DistFeature
+from quiver_tpu.partition import (
+    partition_without_replication,
+    select_nodes,
+    quiver_partition_feature,
+    load_quiver_feature_partition,
+)
+
+
+def _graph_and_features(rng, n=500, d=16):
+    # Node i has degree proportional to i (node n-1 hottest).
+    deg = (rng.pareto(1.5, n) * 3 + 1).astype(np.int64)
+    row = np.repeat(np.arange(n), deg)
+    col = rng.integers(0, n, row.shape[0])
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=n)
+    feat = rng.normal(size=(n, d)).astype(np.float32)
+    return topo, feat
+
+
+def test_feature_gather_ground_truth_no_cache():
+    rng = np.random.default_rng(0)
+    topo, feat = _graph_and_features(rng)
+    f = Feature(device_cache_size=0).from_cpu_tensor(feat)
+    ids = rng.integers(0, 500, 200)
+    out = np.asarray(f[ids])
+    np.testing.assert_array_equal(out, feat[ids])
+    assert f.stats["hot_hits"] == 0 and f.stats["cold_hits"] == 200
+
+
+def test_feature_gather_ground_truth_with_cache_and_reorder():
+    rng = np.random.default_rng(1)
+    topo, feat = _graph_and_features(rng)
+    budget = 100 * feat.itemsize * feat.shape[1]  # 100 hot rows
+    f = Feature(device_cache_size=budget, csr_topo=topo)
+    f.from_cpu_tensor(feat.copy())
+    ids = rng.integers(0, 500, 300)
+    out = np.asarray(f[ids])
+    np.testing.assert_allclose(out, feat[ids], rtol=1e-6)
+    assert f.hot_rows == 100
+    # the 100 hottest (highest-degree) nodes must be hot-tier hits
+    hot_nodes = np.argsort(-topo.degree, kind="stable")[:100]
+    f2 = Feature(device_cache_size=budget, csr_topo=topo)
+    f2.from_cpu_tensor(feat.copy())
+    _ = f2[hot_nodes]
+    assert f2.stats["cold_hits"] == 0
+    assert f2.cache_hit_rate() == 1.0
+
+
+def test_feature_full_cache():
+    rng = np.random.default_rng(2)
+    topo, feat = _graph_and_features(rng, n=100)
+    f = Feature(device_cache_size="1G").from_cpu_tensor(feat)
+    assert f.hot_rows == 100
+    ids = np.arange(100)
+    np.testing.assert_array_equal(np.asarray(f[ids]), feat)
+    assert f.stats["cold_hits"] == 0
+
+
+def test_feature_mmap_disk_tier(tmp_path):
+    rng = np.random.default_rng(3)
+    topo, feat = _graph_and_features(rng, n=120)
+    disk_feat = rng.normal(size=(30, 16)).astype(np.float32)
+    p = tmp_path / "disk.npy"
+    np.save(p, disk_feat)
+    f = Feature(device_cache_size="1G").from_cpu_tensor(feat)
+    disk_map = np.full(120, -1, np.int64)
+    disk_ids = np.arange(60, 90)
+    disk_map[disk_ids] = np.arange(30)
+    f.set_mmap_file(str(p), disk_map)
+    ids = np.arange(50, 100)
+    out = np.asarray(f[ids])
+    expect = feat[ids].copy()
+    on_disk = (ids >= 60) & (ids < 90)
+    expect[on_disk] = disk_feat[ids[on_disk] - 60]
+    np.testing.assert_array_equal(out, expect)
+    assert f.stats["disk_hits"] == int(on_disk.sum())
+
+
+def test_partition_quality_and_balance():
+    """Partition quality CDF: each host's own-probability mass over its
+    partition should beat a random split (reference test_partition.py)."""
+    rng = np.random.default_rng(4)
+    V, H = 2000, 4
+    probs = []
+    for h in range(H):
+        p = np.zeros(V)
+        hot = rng.choice(V, 400, replace=False)
+        p[hot] = rng.random(400)
+        probs.append(p)
+    parts = partition_without_replication(probs)
+    sizes = np.array([len(x) for x in parts])
+    accessed = select_nodes(probs)
+    assert sizes.sum() == len(accessed)
+    assert sizes.max() - sizes.min() <= 2 * 256 + H  # chunk-balanced
+    own = sum(probs[h][parts[h]].sum() for h in range(H))
+    rand_split = np.array_split(rng.permutation(accessed), H)
+    rnd = sum(probs[h][rand_split[h]].sum() for h in range(H))
+    assert own > rnd * 1.2  # clearly better than random
+
+
+def test_partition_artifacts_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    V, H = 300, 2
+    probs = [rng.random(V) * (rng.random(V) > 0.3) for _ in range(H)]
+    parts, book, orders = quiver_partition_feature(
+        probs, str(tmp_path), cache_memory_budget="1K",
+        per_feature_size=64)
+    book2, ids2, order2 = load_quiver_feature_partition(str(tmp_path), 0)
+    np.testing.assert_array_equal(book, book2)
+    np.testing.assert_array_equal(parts[0], ids2)
+    assert len(order2) == min(len(parts[0]), (1 << 10) // 64)
+    # book consistency
+    for h in range(H):
+        assert np.all(book[parts[h]] == h)
+
+
+def test_dist_feature_exchange_mesh():
+    """DistFeature all-to-all gather over the 8-device virtual mesh must
+    equal a host-side gather (reference test_comm.py child_feat_partition)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(6)
+    H, rows, D, V = 8, 64, 8, 8 * 64
+    devices = np.array(jax.devices()[:H])
+    mesh = Mesh(devices, ("host",))
+
+    global2host = np.repeat(np.arange(H), rows)
+    perm = rng.permutation(V)
+    global2host = global2host[perm]
+    feat = rng.normal(size=(V, D)).astype(np.float32)
+
+    info = PartitionInfo(host=0, hosts=H, global2host=global2host)
+    tables = np.zeros((H, rows, D), np.float32)
+    for h in range(H):
+        ids = np.where(global2host == h)[0]
+        tables[h, :len(ids)] = feat[ids]
+
+    dist = DistFeature(mesh, tables, info)
+    ids = rng.integers(0, V, 100)
+    out = np.asarray(dist[ids])
+    np.testing.assert_allclose(out, feat[ids], rtol=1e-6)
