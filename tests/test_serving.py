@@ -1,0 +1,96 @@
+"""Serving stack tests: neighbour-num table sanity, size-based routing,
+and the full request -> route -> sample -> infer -> result path
+(reference examples/serving/reddit/reddit_serving.py flow +
+serving.py:72-95 routing)."""
+import queue
+import time
+
+import numpy as np
+import pytest
+
+from quiver_tpu import CSRTopo, NeighborSampler
+from quiver_tpu.serving import (
+    RequestBatcher,
+    HybridSampler,
+    InferenceServer,
+    generate_neighbour_num,
+)
+
+
+def star_plus_isolated(rng, n=64, hub_deg=30):
+    """Node 0 is a hub with many neighbors; high node ids are isolated."""
+    row = np.concatenate([np.zeros(hub_deg, np.int64),
+                          np.arange(1, n // 2)])
+    col = np.concatenate([rng.integers(1, n, hub_deg),
+                          rng.integers(0, n, n // 2 - 1)])
+    return CSRTopo(edge_index=np.stack([row, col]), num_nodes=n)
+
+
+def test_generate_neighbour_num_reflects_degree():
+    rng = np.random.default_rng(0)
+    topo = star_plus_isolated(rng)
+    s = NeighborSampler(topo, [10, 5], mode="CPU", dedup="none", seed=0)
+    nn = generate_neighbour_num(s, batch_size=32, num_trials=2)
+    assert nn.shape == (64,)
+    # hub has the largest predicted subgraph; isolated nodes the smallest
+    assert nn[0] == nn.max()
+    assert nn[-1] == 1.0  # just the seed itself
+
+
+def test_request_batcher_routing():
+    nn = np.array([100.0, 1.0, 1.0, 1.0])
+    inq = queue.Queue()
+    rb = RequestBatcher(inq, neighbour_num=nn, threshold=50.0, mode="auto")
+    inq.put(("big", np.array([0]), time.time()))
+    inq.put(("small", np.array([1, 2]), time.time()))
+    big = rb.device_queue.get(timeout=5)
+    small = rb.cpu_queue.get(timeout=5)
+    assert big[0] == "big" and small[0] == "small"
+    rb.stop()
+
+
+def test_serving_end_to_end():
+    """Requests flow through batcher -> hybrid CPU samplers + device loop
+    -> results, with p99/throughput metrics recorded."""
+    rng = np.random.default_rng(1)
+    topo = star_plus_isolated(rng, n=64)
+    feat = rng.normal(size=(64, 8)).astype(np.float32)
+
+    dev_sampler = NeighborSampler(topo, [5, 3], mode="CPU", dedup="none",
+                                  seed=0)
+    nn = generate_neighbour_num(dev_sampler, batch_size=64)
+
+    inq = queue.Queue()
+    rb = RequestBatcher(inq, neighbour_num=nn, threshold=20.0, mode="auto")
+    hybrid = HybridSampler(
+        rb.cpu_queue,
+        sampler_factory=lambda: NeighborSampler(
+            topo, [5, 3], mode="CPU", dedup="none", seed=1),
+        num_workers=2)
+
+    def infer_fn(seeds, presampled):
+        batch = presampled or dev_sampler.sample(seeds)
+        # "model": mean neighbor feature per seed via block masks
+        x = feat[np.clip(np.asarray(batch.n_id), 0, 63)]
+        return x[: len(seeds)].mean(axis=1)
+
+    server = InferenceServer(rb.device_queue, hybrid.sampled_queue, infer_fn)
+
+    n_req = 20
+    for i in range(n_req):
+        seeds = rng.integers(0, 64, rng.integers(1, 8))
+        inq.put((i, seeds, time.time()))
+
+    got = {}
+    for _ in range(n_req):
+        req_id, out = server.result_queue.get(timeout=30)
+        got[req_id] = out
+    assert len(got) == n_req
+    for out in got.values():
+        assert np.isfinite(np.asarray(out)).all()
+
+    m = server.metrics.summary()
+    assert m["requests"] == n_req
+    assert m["p99_ms"] >= m["p50_ms"] >= 0
+    assert m["throughput_rps"] > 0
+    rb.stop()
