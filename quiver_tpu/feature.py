@@ -183,9 +183,10 @@ class Feature:
         self.stats["hot_hits"] += m - n_cold
         self.stats["cold_hits"] += n_cold
         if n_cold:
-            cold_idx = pos[~in_hot_np] - self.hot_rows
-            cold_vals = self.cold[np.clip(cold_idx, 0,
-                                          max(len(self.cold) - 1, 0))]
+            from . import native
+            cold_idx = np.clip(pos[~in_hot_np] - self.hot_rows, 0,
+                               max(len(self.cold) - 1, 0))
+            cold_vals = native.gather_rows(self.cold, cold_idx)
             out = np.array(hot_part)  # writable host copy
             out[~in_hot_np] = cold_vals
         else:

@@ -31,6 +31,7 @@ class CPUSampler:
         self.weighted = weighted
         self.dedup = dedup
         self.rng = np.random.default_rng(seed)
+        self._indices32 = None  # lazy int32 copy for the native sampler
 
     def _sample_row(self, v: int, k: int):
         s, e = self.indptr[v], self.indptr[v + 1]
@@ -53,9 +54,14 @@ class CPUSampler:
         return self._sample_per_hop(np.asarray(seeds, np.int64))
 
     def _sample_dense(self, seeds: np.ndarray):
-        """Positional (no-dedup) contract — mirrors _sample_layers_dense."""
-        from .sampler import DenseBlock, SampledBatch
+        """Positional (no-dedup) contract — mirrors _sample_layers_dense.
 
+        Uses the threaded native sampler (native/quiver_host.cpp
+        qt_sample_rows) when available; numpy row loop otherwise."""
+        from .sampler import DenseBlock, SampledBatch
+        from .. import native
+
+        use_native = (not self.weighted) and native.available()
         n = int(seeds.shape[0])
         bs = _bucket(n)
         frontier = np.zeros((bs,), np.int64)
@@ -65,6 +71,24 @@ class CPUSampler:
         blocks = []
         for k in self.sizes:
             F = frontier.shape[0]
+            if use_native:
+                if self._indices32 is None:
+                    self._indices32 = np.ascontiguousarray(self.indices,
+                                                           np.int32)
+                safe = np.where(f_valid, frontier, 0)
+                nbr, e_id, mask = native.sample_rows(
+                    self.indptr, self._indices32, safe, k,
+                    seed=int(self.rng.integers(2**62)))
+                mask &= f_valid[:, None]
+                nbr = np.where(mask, nbr, 0).astype(np.int64)
+                e_id = np.where(mask, e_id, 0)
+                blocks.append(DenseBlock(
+                    mask=mask, e_id=e_id,
+                    dst_count=np.int32(f_valid.sum()),
+                    size=(F * (1 + k), F), fanout=k))
+                frontier = np.concatenate([frontier, nbr.reshape(-1)])
+                f_valid = np.concatenate([f_valid, mask.reshape(-1)])
+                continue
             mask = np.zeros((F, k), bool)
             e_id = np.zeros((F, k), np.int64)
             nbr = np.zeros((F, k), np.int64)

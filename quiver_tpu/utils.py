@@ -53,7 +53,8 @@ def _coo_to_csr(row: np.ndarray, col: np.ndarray, num_nodes: int | None = None):
 
     ``eid[i]`` is the original COO edge position of CSR slot ``i`` —
     the analogue of the reference's edge-id array built during
-    ``quiver<T,CUDA>::New()`` (quiver.cu.hpp:218-238).
+    ``quiver<T,CUDA>::New()`` (quiver.cu.hpp:218-238). Large edge lists
+    go through the threaded native builder (native/quiver_host.cpp).
     """
     row = np.asarray(row)
     col = np.asarray(col)
@@ -62,6 +63,13 @@ def _coo_to_csr(row: np.ndarray, col: np.ndarray, num_nodes: int | None = None):
     n = int(num_nodes) if num_nodes is not None else (
         int(max(row.max(initial=-1), col.max(initial=-1))) + 1 if row.size else 0
     )
+    if row.size >= 1_000_000:
+        try:
+            from . import native
+            if native.available():
+                return native.coo_to_csr(row, col, n)
+        except Exception:
+            pass
     counts = np.bincount(row, minlength=n).astype(np.int64)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])

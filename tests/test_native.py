@@ -1,0 +1,82 @@
+"""Native host runtime tests (reference tests/cpp/test_quiver_cpu.cpp:9-75
+subset-validity pattern, applied through the ctypes boundary)."""
+import numpy as np
+import pytest
+
+from quiver_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_coo_to_csr_matches_numpy():
+    from quiver_tpu.utils import _coo_to_csr
+
+    rng = np.random.default_rng(0)
+    n, e = 200, 3000
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    ip1, ix1, eid1 = _coo_to_csr(row, col, n)
+    ip2, ix2, eid2 = native.coo_to_csr(row, col, n)
+    np.testing.assert_array_equal(ip1, ip2)
+    np.testing.assert_array_equal(ix1.astype(np.int32), ix2)
+    np.testing.assert_array_equal(eid1, eid2)
+
+
+def test_native_sample_rows_subset_and_counts():
+    rng = np.random.default_rng(1)
+    n, e, k = 100, 1500, 7
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    indptr, indices, _ = native.coo_to_csr(row, col, n)
+    seeds = rng.integers(0, n, 64)
+    nbr, slot, mask = native.sample_rows(indptr, indices, seeds, k, seed=3)
+    for i, v in enumerate(seeds):
+        s, t = indptr[v], indptr[v + 1]
+        deg = t - s
+        take = int(mask[i].sum())
+        assert take == min(deg, k)
+        for j in range(take):
+            assert s <= slot[i, j] < t
+            assert indices[slot[i, j]] == nbr[i, j]
+        # without replacement: distinct slots
+        assert len(set(slot[i, :take].tolist())) == take
+
+
+def test_native_sampler_uniform():
+    deg, k, trials = 12, 4, 3000
+    row = np.zeros(deg, np.int64)
+    col = np.arange(1, deg + 1)
+    indptr, indices, _ = native.coo_to_csr(row, col, deg + 1)
+    counts = np.zeros(deg + 1)
+    for t in range(trials):
+        nbr, _, mask = native.sample_rows(indptr, indices,
+                                          np.zeros(1, np.int64), k, seed=t)
+        counts[nbr[0][mask[0]]] += 1
+    freq = counts[1:] / trials
+    np.testing.assert_allclose(freq, k / deg, atol=0.06)
+
+
+def test_native_gather_rows():
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(500, 32)).astype(np.float32)
+    ids = rng.integers(0, 500, 200)
+    np.testing.assert_array_equal(native.gather_rows(table, ids), table[ids])
+
+
+def test_native_shuffle_rows_preserves_sets():
+    rng = np.random.default_rng(3)
+    n, e = 50, 600
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    indptr, indices, eid = native.coo_to_csr(row, col, n)
+    before = indices.copy()
+    out, _ = native.shuffle_rows(indptr, indices.copy(), eid.copy(), seed=7)
+    changed = False
+    for v in range(n):
+        s, t = indptr[v], indptr[v + 1]
+        assert sorted(out[s:t].tolist()) == sorted(before[s:t].tolist())
+        if not np.array_equal(out[s:t], before[s:t]):
+            changed = True
+    assert changed  # at least one row actually permuted
