@@ -286,7 +286,7 @@ class DistFeature:
 
     def __getitem__(self, ids):
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         ids = np.asarray(ids)
         m = ids.shape[0]

@@ -1,0 +1,17 @@
+from .data_parallel import (
+    stack_batches,
+    replicate,
+    shard_leading,
+    make_dp_train_step,
+    unstack_device,
+)
+from .dist_sampler import DistNeighborSampler
+
+__all__ = [
+    "stack_batches",
+    "replicate",
+    "shard_leading",
+    "make_dp_train_step",
+    "unstack_device",
+    "DistNeighborSampler",
+]

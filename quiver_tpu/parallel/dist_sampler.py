@@ -1,0 +1,200 @@
+"""Distributed neighbor sampling over a node-partitioned graph.
+
+The riskiest gap called out in SURVEY.md §7: the reference keeps the FULL
+CSR in every host's pinned RAM and samples it over PCIe (UVA), which has
+no TPU analogue. Here the graph is *node-partitioned* across mesh
+devices (one per logical host, placement from
+``quiver_tpu.partition``): each device holds only the CSR rows of its
+own nodes, and each hop runs
+
+    owner-sort -> all_to_all(frontier ids) -> local dense sampling
+    -> all_to_all(sampled lanes back) -> positional merge
+
+inside one ``shard_map``, so a graph ~H times larger than one host's
+memory trains with two ICI/DCN collectives per hop. This single
+collective pair replaces the reference's NcclComm exchange scheduling
+(comm.py:42-182).
+
+Output contract: the same dense positional ``DenseBlock`` batches as the
+single-chip sampler, one per mesh device (stacked leading axis), ready
+for ``make_dp_train_step``. ``e_id`` refers to slots of the owner's
+local CSR shard.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..sampling.sampler import DenseBlock, SampledBatch
+from ..sampling.kernels import _row_ranges, _floyd_positions
+
+
+def _local_sample(indptr, indices, rows, rows_valid, k, key):
+    """Dense fanout-k sample of LOCAL csr rows; indices hold GLOBAL ids."""
+    start, deg = _row_ranges(indptr, rows, rows_valid)
+    pos = _floyd_positions(key, deg, k)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    cnt = jnp.minimum(deg, k)
+    mask = (ar[None, :] < cnt[:, None]) & rows_valid[:, None]
+    slot = jnp.where(mask, start[:, None] + pos, 0)
+    nbr = jnp.take(indices, slot, mode="clip").astype(jnp.int32)
+    return nbr, mask, slot
+
+
+@functools.lru_cache(maxsize=32)
+def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int):
+    def body(ptr, idx, g2h, g2l, seeds, seed_count, key):
+        ptr, idx = ptr[0], idx[0]
+        seeds, seed_count = seeds[0], seed_count[0]
+        frontier = seeds.astype(jnp.int32)
+        f_valid = jnp.arange(batch_size, dtype=jnp.int32) < seed_count
+        outs = []
+        for k in sizes:
+            key, sub = jax.random.split(key)
+            F = frontier.shape[0]
+            owner = jnp.where(f_valid, g2h[jnp.clip(frontier, 0, None)],
+                              jnp.int32(H - 1))
+            pos = jnp.arange(F, dtype=jnp.int32)
+            s_owner, order = jax.lax.sort([owner, pos], num_keys=1,
+                                          is_stable=True)
+            f_sorted = frontier[order]
+            v_sorted = f_valid[order]
+            group_start = jnp.searchsorted(
+                s_owner, jnp.arange(H, dtype=jnp.int32), side="left"
+            ).astype(jnp.int32)
+            rank = pos - group_start[s_owner]
+            # request matrix [H, F]: id+1, 0 = empty slot
+            tgt = s_owner * F + rank
+            req = jnp.zeros((H * F,), jnp.int32).at[tgt].set(
+                jnp.where(v_sorted, f_sorted + 1, 0)).reshape(H, F)
+            recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)
+            rv = recv.reshape(-1)
+            r_valid = rv > 0
+            rows = jnp.where(r_valid, g2l[jnp.maximum(rv - 1, 0)], 0)
+            nbr, mask, slot = _local_sample(ptr, idx, rows, r_valid, k, sub)
+            back = jax.lax.all_to_all(
+                nbr.reshape(H, F, k), axis, 0, 0, tiled=True)
+            back_m = jax.lax.all_to_all(
+                mask.reshape(H, F, k), axis, 0, 0, tiled=True)
+            back_s = jax.lax.all_to_all(
+                slot.reshape(H, F, k), axis, 0, 0, tiled=True)
+            # reassemble in sorted order, then invert the owner sort
+            nbr_sorted = back[s_owner, rank]          # [F, k]
+            m_sorted = back_m[s_owner, rank]
+            s_sorted = back_s[s_owner, rank]
+            inv = jnp.zeros((F,), jnp.int32).at[order].set(pos)
+            nbr_o = nbr_sorted[inv]
+            m_o = m_sorted[inv] & f_valid[:, None]
+            s_o = s_sorted[inv]
+            outs.append((m_o[None], s_o[None],
+                         jnp.sum(f_valid).astype(jnp.int32)[None]))
+            frontier = jnp.concatenate(
+                [frontier, jnp.where(m_o, nbr_o, 0).reshape(-1)])
+            f_valid = jnp.concatenate([f_valid, m_o.reshape(-1)])
+        return frontier[None], outs
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(),
+                  P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None),
+                   [(P(axis, None, None), P(axis, None, None), P(axis))
+                    for _ in sizes]),
+        check_rep=False))
+
+
+class DistNeighborSampler:
+    """Layered sampler over a node-partitioned CSR across a mesh.
+
+    Args:
+      mesh: 1-D device mesh; device d plays logical host d.
+      csr_topo: the FULL host-resident topology (used once to build
+        shards; at real papers100M scale build shards per host offline
+        with the same layout and pass via ``from_shards``).
+      global2host: [V] owner host of each node (partitioner output).
+      sizes: per-layer fanouts.
+    """
+
+    def __init__(self, mesh: Mesh, csr_topo, global2host, sizes: Sequence[int],
+                 seed: int = 0):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.H = int(mesh.devices.size)
+        self.sizes = tuple(int(s) for s in sizes)
+        self._key = jax.random.PRNGKey(seed)
+
+        g2h = np.asarray(global2host, np.int32)
+        V = g2h.shape[0]
+        indptr = np.asarray(csr_topo.indptr)
+        indices = np.asarray(csr_topo.indices)
+
+        g2l = np.zeros(V, np.int32)
+        shard_rows = []
+        rows_max, e_max = 1, 1
+        for h in range(self.H):
+            ids = np.where(g2h == h)[0]
+            g2l[ids] = np.arange(ids.shape[0], dtype=np.int32)
+            shard_rows.append(ids)
+            rows_max = max(rows_max, len(ids))
+            if len(ids):
+                e_max = max(e_max, int((indptr[ids + 1] - indptr[ids]).sum()))
+        shards_ptr = np.zeros((self.H, rows_max + 1), np.int64)
+        shards_idx = np.zeros((self.H, e_max), np.int32)
+        for h, ids in enumerate(shard_rows):
+            if not len(ids):
+                continue
+            degs = indptr[ids + 1] - indptr[ids]
+            shards_ptr[h, 1:len(ids) + 1] = np.cumsum(degs)
+            shards_ptr[h, len(ids) + 1:] = shards_ptr[h, len(ids)]
+            flat = np.concatenate(
+                [indices[indptr[v]:indptr[v + 1]] for v in ids])
+            shards_idx[h, :flat.shape[0]] = flat
+
+        ax = self.axis
+        self.shards_ptr = jax.device_put(
+            jnp.asarray(shards_ptr, jnp.int32),
+            NamedSharding(mesh, P(ax, None)))
+        self.shards_idx = jax.device_put(
+            jnp.asarray(shards_idx), NamedSharding(mesh, P(ax, None)))
+        repl = NamedSharding(mesh, P())
+        self.g2h = jax.device_put(jnp.asarray(g2h), repl)
+        self.g2l = jax.device_put(jnp.asarray(g2l), repl)
+
+    def sample(self, seeds_per_device):
+        """seeds_per_device: [n_dev, B] global ids. Returns one
+        SampledBatch per device (dense positional contract)."""
+        seeds = np.asarray(seeds_per_device)
+        n_dev, B = seeds.shape
+        assert n_dev == self.H, (n_dev, self.H)
+        self._key, sub = jax.random.split(self._key)
+        run = _make_run(self.mesh, self.axis, self.H, self.sizes, B)
+        counts = np.full((n_dev,), B, np.int32)
+        frontier, outs = run(self.shards_ptr, self.shards_idx, self.g2h,
+                             self.g2l, jnp.asarray(seeds, jnp.int32),
+                             jnp.asarray(counts), sub)
+
+        batches = []
+        fr = np.asarray(frontier)
+        outs_np = [(np.asarray(m), np.asarray(s), np.asarray(c))
+                   for m, s, c in outs]
+        for d in range(n_dev):
+            blocks = []
+            f_cap = B
+            for li, (m, s, c) in enumerate(outs_np):
+                k = self.sizes[li]
+                blocks.append(DenseBlock(
+                    mask=jnp.asarray(m[d]), e_id=jnp.asarray(s[d]),
+                    dst_count=jnp.int32(c[d]),
+                    size=(f_cap * (1 + k), f_cap), fanout=k))
+                f_cap = f_cap * (1 + k)
+            batches.append(SampledBatch(
+                n_id=jnp.asarray(fr[d]), n_count=jnp.int32(fr[d].shape[0]),
+                batch_size=B, seed_count=jnp.int32(B),
+                adjs=tuple(reversed(blocks))))
+        return batches
