@@ -316,7 +316,7 @@ class DistFeature:
         gathered = jax.jit(shard_map(
             exchange, mesh=self.mesh,
             in_specs=(P(self.axis, None, None), P()),
-            out_specs=P(), check_rep=False))(self.tables, jnp.asarray(req))
+            out_specs=P(), check_vma=False))(self.tables, jnp.asarray(req))
 
         D = gathered.shape[-1]
         out = np.zeros((m, D), gathered.dtype)

@@ -81,5 +81,5 @@ def make_dp_train_step(model, tx, mesh: Mesh, axis: str = "data",
         per_device, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step)

@@ -106,7 +106,7 @@ def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int):
         out_specs=(P(axis, None),
                    [(P(axis, None, None), P(axis, None, None), P(axis))
                     for _ in sizes]),
-        check_rep=False))
+        check_vma=False))
 
 
 class DistNeighborSampler:
