@@ -49,19 +49,25 @@ def build_graph():
     return indptr, indices
 
 
-def measure(sampler, node_count, iters=20, batch=BATCH, seed=1):
-    import jax
+def _force(batch):
+    """Force completion of the in-order device stream: fetch a scalar that
+    depends on the batch's data. (On the axon tunnel, block_until_ready
+    acks without waiting for execution; a dependent host fetch cannot.)"""
+    import jax.numpy as jnp
+    return float(jnp.sum(batch.adjs[0].mask.astype(jnp.int32)))
 
+
+def measure(sampler, node_count, iters=20, batch=BATCH, seed=1):
     rng = np.random.default_rng(seed)
     t0 = time.time()
     b = sampler.sample(np.arange(batch))
-    jax.block_until_ready(b.n_id)
+    _force(b)
     compile_s = time.time() - t0
 
     seed_sets = [rng.integers(0, node_count, batch) for _ in range(iters)]
     t0 = time.time()
     batches = [sampler.sample(s) for s in seed_sets]
-    jax.block_until_ready(batches[-1].n_id)
+    _force(batches[-1])   # device executes in order: all batches are done
     dt = time.time() - t0
     edges = sum(int(np.asarray(a.mask).sum()) for bb in batches
                 for a in bb.adjs)

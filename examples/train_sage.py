@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import quiver_tpu
 from quiver_tpu import CSRTopo, NeighborSampler
+
+quiver_tpu.enable_compilation_cache()
 from quiver_tpu.models import GraphSAGE
 
 

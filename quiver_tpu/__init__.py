@@ -20,6 +20,17 @@ from .sampling import (
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache (recommended on axon/TPU,
+    where first compiles of big sampling programs take minutes)."""
+    import os
+    import jax
+    path = path or os.path.join(os.path.dirname(__file__), os.pardir,
+                                ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __all__ = [
     "CSRTopo",
     "parse_size",

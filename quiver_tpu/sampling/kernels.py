@@ -84,6 +84,94 @@ def sample_adjacency(indptr, indices, frontier, frontier_valid, k: int, key):
     return nbr, mask, slot
 
 
+_WINDOW_LANES = 128  # block width of the 2-D adjacency layout
+
+
+def build_window_layout(indptr, indices, k_max: int):
+    """Host-side prep for window sampling: the adjacency as a 2-D
+    [blocks, 128] int32 array plus a per-node meta table [V, 8]
+    (lane 0 = row start slot, lane 1 = degree).
+
+    Replaces per-element CSR pointers with TPU-friendly shapes: one
+    row-gather of ``meta`` gives start+degree, two row-gathers of the
+    block array cover any k<=114 contiguous window.
+    """
+    import numpy as np
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int32)
+    V = indptr.shape[0] - 1
+    E = indices.shape[0]
+    W = _WINDOW_LANES
+    blocks = (E + 2 * W) // W + 1
+    ind2d = np.zeros((blocks, W), np.int32)
+    ind2d.reshape(-1)[:E] = indices
+    meta = np.zeros((V, 8), np.int32)
+    meta[:, 0] = indptr[:-1]
+    meta[:, 1] = (indptr[1:] - indptr[:-1])
+    return ind2d, meta
+
+
+def _select_window(rows, rel, k: int):
+    """rows [N, 2W], rel [N] -> [N, k] lanes rel..rel+k-1, selected with
+    masked VPU reductions (TPU batched per-row gathers are slow)."""
+    W2 = rows.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+    outs = []
+    for j in range(k):
+        m = iota == (rel[:, None] + j)
+        outs.append(jnp.sum(jnp.where(m, rows, 0), axis=1))
+    return jnp.stack(outs, axis=1)
+
+
+def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
+                            k: int, key):
+    """Contiguous-window fanout-k sampling over PRE-SHUFFLED rows.
+
+    The TPU-native answer to the warp-per-row reservoir kernel's memory
+    pattern: the CUDA kernel reads k scattered elements per row, but on
+    TPU scattered element gathers are latency-bound (~100M/s) while
+    128-lane *row* gathers cost the same per descriptor. So: each row's
+    neighbor order is randomly permuted once at load time
+    (``native.shuffle_rows``), the window start is uniform in
+    [0, deg-k], and the k *consecutive* neighbors are read with two
+    block-row gathers + an in-register select.
+
+    Distribution: per-POSITION probabilities are slightly edge-biased
+    (no wraparound), but positions hold a random permutation of the
+    neighbors, so any fixed draw is an unbiased uniform-marginal sample;
+    re-shuffle between epochs to refresh the window family. The
+    ``exact`` strategy (Floyd) keeps unrestricted k-subsets.
+
+    Same output contract as :func:`sample_adjacency`; requires
+    k <= 114 (window must fit two 128-lane blocks).
+    """
+    W = _WINDOW_LANES
+    assert k <= W - 14, f"fanout {k} too large for window sampling"
+    N = frontier.shape[0]
+    V = meta.shape[0]
+    f = jnp.clip(frontier.astype(jnp.int32), 0, V - 1)
+    mrow = jnp.take(meta, f, axis=0)                     # [N, 8]
+    start = mrow[:, 0]
+    deg = jnp.where(frontier_valid, mrow[:, 1], 0)
+
+    u = jax.random.uniform(key, (N,))
+    span = jnp.maximum(deg - k + 1, 1).astype(u.dtype)
+    off = jnp.minimum((u * span).astype(jnp.int32),
+                      jnp.maximum(deg - k, 0))
+    s = start + off
+    g = s // W
+    G = ind2d.shape[0]
+    gg = jnp.stack([jnp.clip(g, 0, G - 1), jnp.clip(g + 1, 0, G - 1)], 1)
+    rows = jnp.take(ind2d, gg.reshape(-1), axis=0).reshape(N, 2 * W)
+    rel = s % W
+    nbr = _select_window(rows, rel, k).astype(jnp.int32)
+
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    mask = (j < jnp.minimum(deg, k)[:, None]) & frontier_valid[:, None]
+    slot = jnp.where(mask, s[:, None] + j, 0)
+    return nbr, mask, slot
+
+
 def weighted_sample_adjacency(indptr, indices, row_cdf, frontier,
                               frontier_valid, k: int, key):
     """Weighted fanout-k sampling WITH replacement (reference semantics).

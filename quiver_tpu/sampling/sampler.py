@@ -42,6 +42,8 @@ from ..ops.unique import (union_reindex, union_reindex_dense,
 DENSE_REINDEX_MAX_NODES = 1 << 24
 from .kernels import (
     sample_adjacency,
+    sample_adjacency_window,
+    build_window_layout,
     weighted_sample_adjacency,
     build_row_cdf,
     cal_next_prob,
@@ -132,10 +134,10 @@ def _layer_capacities(batch_size: int, sizes: Sequence[int],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sizes", "batch_size", "weighted"),
+    static_argnames=("sizes", "batch_size", "weighted", "window"),
 )
 def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
-                         sizes, batch_size, weighted):
+                         sizes, batch_size, weighted, window=False):
     """Jitted multi-layer sampling with NO dedup (the TPU-native fast path).
 
     Local ids are positional: the frontier at hop l+1 is
@@ -156,6 +158,10 @@ def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
         if weighted:
             nbr, mask, slot = weighted_sample_adjacency(
                 indptr, indices, row_cdf, frontier, f_valid, k, sub)
+        elif window:
+            meta, ind2d = indices
+            nbr, mask, slot = sample_adjacency_window(
+                meta, ind2d, frontier, f_valid, k, sub)
         else:
             nbr, mask, slot = sample_adjacency(
                 indptr, indices, frontier, f_valid, k, sub)
@@ -228,12 +234,15 @@ class NeighborSampler:
     def __init__(self, csr_topo, sizes: Sequence[int], device=None,
                  mode: str = "TPU", capacities: Optional[Sequence[int]] = None,
                  weighted: bool = False, seed: int = 0,
-                 dedup: str = "none"):
+                 dedup: str = "none", sampling: str = "window"):
         mode = mode.upper()
         if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
             raise ValueError(f"unknown mode {mode!r}")
         if dedup not in ("none", "per_hop"):
             raise ValueError(f"dedup must be 'none' or 'per_hop', got {dedup!r}")
+        if sampling not in ("window", "exact"):
+            raise ValueError(
+                f"sampling must be 'window' or 'exact', got {sampling!r}")
         # GPU/UVA accepted as aliases for migration friendliness.
         self.mode = "CPU" if mode == "CPU" else "TPU"
         self.dedup = dedup
@@ -241,6 +250,11 @@ class NeighborSampler:
         self.sizes = tuple(int(s) for s in sizes)
         self.capacities = None if capacities is None else tuple(capacities)
         self.weighted = bool(weighted)
+        # window sampling needs shuffled rows + dense pipeline; it falls
+        # back to exact for weighted / per-hop-dedup paths.
+        self.sampling = ("window" if (sampling == "window"
+                                      and not weighted and dedup == "none")
+                         else "exact")
         self.device = device
         self._key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
@@ -251,7 +265,17 @@ class NeighborSampler:
         if self.mode == "TPU":
             put = functools.partial(jax.device_put, device=device)
             self.indptr = put(jnp.asarray(csr_topo.indptr, jnp.int32))
-            self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
+            self.shuffle_eid = None
+            if self.sampling == "window":
+                shuffled, self.shuffle_eid = self._shuffled_indices(
+                    csr_topo, seed)
+                ind2d, meta = build_window_layout(
+                    csr_topo.indptr, shuffled, max(self.sizes))
+                # the (meta, ind2d) pair plays the role of `indices`
+                self.indices = (put(jnp.asarray(meta)),
+                                put(jnp.asarray(ind2d)))
+            else:
+                self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
             if self.weighted:
                 cdf = build_row_cdf(csr_topo.indptr, csr_topo.edge_weight)
                 self.row_cdf = put(jnp.asarray(cdf, jnp.float32))
@@ -262,6 +286,44 @@ class NeighborSampler:
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
                                            weighted=self.weighted, seed=seed,
                                            dedup=self.dedup)
+
+    def reshuffle(self, seed: int = None) -> None:
+        """Re-permute every row's neighbor order (window sampling only).
+        Call between epochs to refresh the window family."""
+        if self.sampling != "window":
+            return
+        if seed is None:
+            seed = int(self._rng.integers(2**31))
+        shuffled, self.shuffle_eid = self._shuffled_indices(
+            self.csr_topo, seed)
+        ind2d, meta = build_window_layout(
+            self.csr_topo.indptr, shuffled, max(self.sizes))
+        put = functools.partial(jax.device_put, device=self.device)
+        self.indices = (put(jnp.asarray(meta)), put(jnp.asarray(ind2d)))
+
+    @staticmethod
+    def _shuffled_indices(csr_topo, seed):
+        """Per-row random permutation of the adjacency (window sampling).
+
+        Returns (shuffled indices int32, slot->original-slot map or None).
+        Uses the threaded native shuffle when available.
+        """
+        from .. import native
+
+        indices = np.array(csr_topo.indices, np.int32)  # private copy
+        perm = np.arange(indices.shape[0], dtype=np.int64)
+        if native.available():
+            native.shuffle_rows(np.asarray(csr_topo.indptr, np.int64),
+                                indices, perm, seed=seed)
+        else:
+            rng = np.random.default_rng(seed)
+            indptr = np.asarray(csr_topo.indptr)
+            for v in range(indptr.shape[0] - 1):
+                s, e = indptr[v], indptr[v + 1]
+                p = rng.permutation(e - s)
+                indices[s:e] = indices[s:e][p]
+                perm[s:e] = perm[s:e][p]
+        return indices, perm
 
     # -- shape bucketing: pad the seed batch to limit recompiles ---------
     @staticmethod
@@ -292,7 +354,8 @@ class NeighborSampler:
             frontier, f_valid, layer_outs = _sample_layers_dense(
                 self.indptr, self.indices, self.row_cdf,
                 jnp.asarray(pad), jnp.int32(n), sub,
-                sizes=self.sizes, batch_size=bs, weighted=self.weighted)
+                sizes=self.sizes, batch_size=bs, weighted=self.weighted,
+                window=self.sampling == "window")
             blocks = []
             f_cap = bs
             for li, (mask, slot, dst_count) in enumerate(layer_outs):

@@ -217,11 +217,16 @@ def test_dense_mode_subset_validity(mode):
                     lane_row = F + i * k + j
                     nbr = int(n_id[lane_row])
                     assert nbr in edges[gid]
-                    # e_id is the CSR slot of that edge
+                    # e_id is the CSR slot of that edge (in the
+                    # sampler's possibly row-shuffled layout)
                     sl = int(eid[i, j])
-                    assert int(topo.indices[sl]) == nbr
                     lo, hi = topo.indptr[gid], topo.indptr[gid + 1]
                     assert lo <= sl < hi
+                    if getattr(s, "shuffle_eid", None) is not None:
+                        orig = int(s.shuffle_eid[sl])
+                        assert int(topo.indices[orig]) == nbr
+                    else:
+                        assert int(topo.indices[sl]) == nbr
             # fanout-capped count of valid lanes for real rows
             if gid in edges and i < int(blk.dst_count):
                 deg = len(edges[gid])
@@ -251,3 +256,72 @@ def test_dense_mode_matches_per_hop_training_math():
         outs[dd] = np.asarray(model.apply(params, x, b.adjs))[:2]
     np.testing.assert_allclose(outs["none"], outs["per_hop"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_window_sampling_uniform_marginals():
+    """Window strategy: neighbor marginals are uniform k/deg *averaged
+    over row shuffles* (within one shuffle, positions carry a bounded
+    edge bias — the documented trade; reshuffle() refreshes it)."""
+    deg, k = 12, 3
+    n_shuffles, trials = 8, 400
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=deg + 1)
+    counts = np.zeros(deg + 1)
+    for seed in range(n_shuffles):
+        s = NeighborSampler(topo, [k], mode="TPU", seed=seed, dedup="none",
+                            sampling="window")
+        assert s.sampling == "window"
+        for _ in range(trials):
+            b = s.sample([0])
+            blk = b.adjs[0]
+            F = blk.size[1]
+            n_id = np.asarray(b.n_id)
+            m = np.asarray(blk.mask)[0]
+            lanes = n_id[F: F + k][m[:k]]
+            counts[lanes] += 1
+    freq = counts[1:] / (n_shuffles * trials)
+    np.testing.assert_allclose(freq, k / deg, atol=0.06)
+
+
+def test_window_reshuffle_changes_layout():
+    rng = np.random.default_rng(0)
+    row = np.repeat(np.arange(20), 8)
+    col = rng.integers(0, 20, 160)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=20)
+    s = NeighborSampler(topo, [4], mode="TPU", seed=0, sampling="window")
+    before = np.asarray(s.indices[1]).copy()
+    s.reshuffle(seed=123)
+    after = np.asarray(s.indices[1])
+    assert not np.array_equal(before, after)
+    # still the same multiset per row
+    b = s.sample(np.arange(8))
+    blk = b.adjs[0]
+    n_id = np.asarray(b.n_id)
+    F, k = blk.size[1], blk.fanout
+    mask = np.asarray(blk.mask)
+    for i in range(8):
+        gid = int(n_id[i])
+        true_nbrs = set(topo.indices[topo.indptr[gid]:topo.indptr[gid+1]].tolist())
+        got = [int(n_id[F + i*k + j]) for j in range(k) if mask[i, j]]
+        assert set(got) <= true_nbrs
+
+
+def test_window_vs_exact_same_contract():
+    """Both strategies produce valid neighbors with min(deg,k) lanes."""
+    topo, edges = simple_graph()
+    for strat in ("window", "exact"):
+        s = NeighborSampler(topo, [3], mode="TPU", seed=1, dedup="none",
+                            sampling=strat)
+        b = s.sample([0, 5, 4, 2])
+        n_id = np.asarray(b.n_id)
+        blk = b.adjs[0]
+        F, k = blk.size[1], blk.fanout
+        mask = np.asarray(blk.mask)
+        for i in range(4):
+            gid = int(n_id[i])
+            got = [int(n_id[F + i * k + j]) for j in range(k) if mask[i, j]]
+            assert len(got) == min(len(edges[gid]), k), (strat, gid, got)
+            assert set(got) <= set(edges[gid]), (strat, gid, got)
+            # window without replacement within a draw
+            assert len(set(got)) == len(got)
