@@ -7,7 +7,8 @@ the reference export list at srcs/python/quiver/__init__.py:2-11.
 """
 from __future__ import annotations
 
-from .utils import CSRTopo, parse_size, reindex_by_config, reindex_feature
+from .utils import (CSRTopo, parse_size, reindex_by_config,
+                    reindex_feature, Topo, init_p2p)
 from .sampling import (
     NeighborSampler,
     SampledBatch,
@@ -36,6 +37,8 @@ __all__ = [
     "parse_size",
     "reindex_by_config",
     "reindex_feature",
+    "Topo",
+    "init_p2p",
     "NeighborSampler",
     "SampledBatch",
     "Adj",
@@ -60,7 +63,14 @@ def __getattr__(name):
     if name == "generate_neighbour_num":
         from .serving.neighbour_num import generate_neighbour_num
         return generate_neighbour_num
-    if name in ("models", "serving", "parallel", "feature", "partition", "ops"):
+    if name in ("MixedSampler", "SampleJob"):
+        from .sampling import mixed as _m
+        return getattr(_m, name)
+    if name in ("CommWorld", "getNcclId", "init_distributed"):
+        from . import comm as _c
+        return getattr(_c, name)
+    if name in ("models", "serving", "parallel", "feature", "partition",
+                "ops", "comm", "checkpoint", "profiling", "native"):
         import importlib
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -388,6 +388,15 @@ class NeighborSampler:
                             batch_size=bs, seed_count=jnp.int32(n),
                             adjs=tuple(reversed(adjs)))
 
+    # -- IPC parity shims (reference sage_sampler.py:159-178): one process
+    # drives all local chips on TPU, so handles are just self.
+    def share_ipc(self):
+        return self
+
+    @classmethod
+    def lazy_from_ipc_handle(cls, handle):
+        return handle
+
     def sample_prob(self, train_idx, total_node_count: int) -> jnp.ndarray:
         """Multi-hop access probability per node (reference sample_prob,
         sage_sampler.py:149-157 -> cal_neighbor_prob quiver_sample.cu:100)."""

@@ -16,6 +16,8 @@ __all__ = [
     "reindex_by_config",
     "reindex_feature",
     "round_up",
+    "Topo",
+    "init_p2p",
 ]
 
 _SIZE_SUFFIX = {
@@ -184,3 +186,38 @@ def reindex_feature(graph: CSRTopo, feature, ratio: float):
         raise ValueError("graph must be a CSRTopo")
     feature, old2new, new2old = reindex_by_config(graph, feature, ratio)
     return feature, old2new, new2old
+
+
+class Topo:
+    """Fast-interconnect clique topology (reference ``p2pCliqueTopo``,
+    utils.py:53-106). On NVIDIA servers cliques come from pairwise NVLink
+    p2p queries (Bron-Kerbosch over the access matrix); on TPU every chip
+    in a slice is ICI-connected, so the local devices form ONE clique —
+    multi-slice systems get one clique per slice (DCN between them)."""
+
+    def __init__(self, device_list=None):
+        import jax
+        if device_list is None:
+            device_list = list(range(len(jax.devices())))
+        devices = jax.devices()
+        by_slice = {}
+        for rank in device_list:
+            d = devices[rank]
+            key = getattr(d, "slice_index", 0)
+            by_slice.setdefault(key, []).append(rank)
+        self.p2p_clique = list(by_slice.values())
+        self.rank2clique = {r: ci for ci, group in enumerate(self.p2p_clique)
+                            for r in group}
+
+    def get_clique_id(self, rank: int) -> int:
+        return self.rank2clique[rank]
+
+    def info(self) -> str:
+        return "\n".join(f"Clique {ci}: {group}"
+                         for ci, group in enumerate(self.p2p_clique))
+
+
+def init_p2p(device_list=None):
+    """Parity shim (reference utils.py:250-256 / quiver_feature.cu:378):
+    ICI peer access needs no enabling on TPU; returns the clique Topo."""
+    return Topo(device_list)

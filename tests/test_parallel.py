@@ -125,3 +125,48 @@ def test_dist_sampler_counts_match_local_sampler():
         for i in range(4):
             deg = int(topo.degree[n_id[i]])
             assert mask[i].sum() == min(deg, 3)
+
+
+def test_comm_world_collectives():
+    """CommWorld allreduce/allgather/alltoall/shift vs numpy on the
+    virtual mesh (reference test_comm.py:183-384 send/recv/allreduce)."""
+    from quiver_tpu.comm import CommWorld
+
+    w = CommWorld(_mesh())
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    np.testing.assert_allclose(w.allreduce(x), x.sum(0))
+    ag = w.allgather(x)
+    np.testing.assert_allclose(ag, x)
+    a2a_in = np.arange(8 * 8 * 2, dtype=np.float32).reshape(8, 8, 2)
+    a2a = w.alltoall(a2a_in)
+    np.testing.assert_allclose(a2a, a2a_in.transpose(1, 0, 2))
+    sh = w.shift(x, 1)
+    np.testing.assert_allclose(sh, np.roll(x, 1, axis=0))
+
+
+def test_topo_single_clique():
+    from quiver_tpu import Topo, init_p2p
+
+    t = init_p2p()
+    assert sum(len(g) for g in t.p2p_clique) == 8
+    assert t.get_clique_id(0) == t.get_clique_id(1)  # same slice on CPU
+
+
+def test_mixed_sampler_covers_job():
+    from quiver_tpu import MixedSampler, SampleJob, CSRTopo
+
+    rng = np.random.default_rng(0)
+    n = 200
+    topo = CSRTopo(edge_index=np.stack([np.repeat(np.arange(n), 4),
+                                        rng.integers(0, n, 4 * n)]),
+                   num_nodes=n)
+    job = SampleJob(np.arange(n), batch_size=16)
+    ms = MixedSampler(topo, [3, 2], job, mode="TPU_CPU_MIXED",
+                      num_cpu_workers=2)
+    got = list(ms)
+    assert len(got) == len(job)
+    sources = {src for _, src in got}
+    assert "tpu" in sources
+    counts = sorted(int(b.seed_count) for b, _ in got)
+    # 12 full batches of 16 and one remainder of 8
+    assert counts == [8] + [16] * 12
