@@ -1,0 +1,109 @@
+"""End-to-end epoch time on a products-scale graph — the reference's
+headline e2e table (docs/Introduction_en.md:144-149: 3-layer GraphSAGE on
+ogbn-products, 1 GPU Quiver = 11.1 s/epoch, PyG CPU-sampling = 36.5 s).
+
+Same shape/config here: 2.45M nodes / ~61M edges power-law graph,
+196k train seeds (products' split size), batch 1024, fanout [15,10,5],
+hidden 256, 100-dim float32 features, single TPU chip. Synthetic labels
+(no dataset egress) — the timed work is identical.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import quiver_tpu
+from quiver_tpu import CSRTopo, NeighborSampler
+from quiver_tpu.models import GraphSAGE
+
+quiver_tpu.enable_compilation_cache()
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from bench import build_graph  # reuse the cached products-like graph
+
+TRAIN_SEEDS = 196_615       # ogbn-products train split size
+BATCH = 1024
+FANOUT = [15, 10, 5]
+HIDDEN = 256
+DIM = 100
+CLASSES = 47
+BASELINE_EPOCH_S = 11.1     # reference Quiver 1-GPU epoch
+
+
+def main():
+    t0 = time.time()
+    indptr, indices = build_graph()
+    topo = CSRTopo(indptr=indptr, indices=indices)
+    n = topo.node_count
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(n, DIM)).astype(np.float32)
+    labels = rng.integers(0, CLASSES, n)
+    feat_j = jax.device_put(jnp.asarray(feat))
+    labels_j = jax.device_put(jnp.asarray(labels))
+    print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    sampler = NeighborSampler(topo, FANOUT, seed=0)
+    model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
+                      num_layers=3, dropout=0.0)
+    tx = optax.adam(1e-3)
+
+    b0 = sampler.sample(np.arange(BATCH))
+    x0 = feat_j[jnp.clip(b0.n_id, 0, n - 1)]
+    params = model.init(jax.random.PRNGKey(0), x0, b0.adjs)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, n_id, adjs, y):
+        x = feat_j[jnp.clip(n_id, 0, n - 1)]
+
+        def loss_fn(p):
+            logits = model.apply(p, x, adjs)[: y.shape[0]]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warmup / compile
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, b0.n_id, b0.adjs,
+                                   labels_j[jnp.asarray(b0.n_id)[:BATCH]])
+    _ = float(loss)
+    print(f"compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    train_idx = rng.permutation(n)[:TRAIN_SEEDS]
+    steps = len(train_idx) // BATCH
+    t0 = time.time()
+    loss = None
+    for s in range(steps):
+        seeds = train_idx[s * BATCH:(s + 1) * BATCH]
+        b = sampler.sample(seeds)
+        params, opt_state, loss = step(
+            params, opt_state, b.n_id, b.adjs,
+            labels_j[jnp.asarray(seeds)])
+    lf = float(loss)  # forces the whole in-order stream
+    epoch_s = time.time() - t0
+    print(f"epoch: {epoch_s:.2f}s for {steps} steps "
+          f"({steps*BATCH/epoch_s:.0f} seeds/s), final loss {lf:.3f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "e2e_epoch_products_like_sage3",
+        "value": round(epoch_s, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,17 +150,26 @@ class RGCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x_src, adj, edge_type):
-        src, dst = adj.edge_index[0], adj.edge_index[1]
         dst_cap = adj.size[1]
         R = self.num_relations
         w = self.param("rel_weight", nn.initializers.glorot_uniform(),
                        (R, x_src.shape[-1], self.out_features))
         out = jnp.zeros((dst_cap, self.out_features), x_src.dtype)
-        msgs = jnp.take(x_src, src, axis=0)
-        for r in range(R):
-            m = adj.mask & (edge_type == r)
-            agg = segment_mean(msgs, dst, dst_cap, m)
-            out = out + agg @ w[r]
+        if _is_dense(adj):
+            # edge_type: [F, fanout] aligned with the block lanes
+            lanes, m = _dense_neighbors(x_src, adj)
+            for r in range(R):
+                mr = (m[..., 0] & (edge_type == r))[..., None]
+                mrf = mr.astype(x_src.dtype)
+                agg = (lanes * mrf).sum(1) / jnp.maximum(mrf.sum(1), 1)
+                out = out + agg @ w[r]
+        else:
+            src, dst = adj.edge_index[0], adj.edge_index[1]
+            msgs = jnp.take(x_src, src, axis=0)
+            for r in range(R):
+                m = adj.mask & (edge_type == r)
+                agg = segment_mean(msgs, dst, dst_cap, m)
+                out = out + agg @ w[r]
         if self.root_weight:
             out = out + nn.Dense(self.out_features, use_bias=False,
                                  name="lin_root")(x_src[:dst_cap])

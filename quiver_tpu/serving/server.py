@@ -139,6 +139,12 @@ class InferenceServer:
     ``infer_fn(seeds, presampled_batch_or_None) -> outputs`` owns the
     device work: sample on device when given raw seeds, else use the
     CPU-sampled batch; then feature-gather + model forward.
+
+    All device work runs on ONE thread: a single device executes
+    serially anyway, and JAX dispatch from concurrent threads is not
+    supported on every backend. The thread drains the device queue with
+    priority and falls back to CPU-presampled batches (the reference
+    instead dedicates processes per GPU, serving.py:186-230).
     """
 
     def __init__(self, device_queue: queue.Queue,
@@ -149,32 +155,47 @@ class InferenceServer:
         self.infer_fn = infer_fn
         self.result_queue = result_queue or queue.Queue()
         self.metrics = ServerMetrics()
-        self._threads = [
-            threading.Thread(target=self._device_loop, daemon=True)]
-        if sampled_queue is not None:
-            self._threads.append(
-                threading.Thread(target=self._cpu_loop, daemon=True))
+        self._threads = [threading.Thread(target=self._loop, daemon=True)]
         for t in self._threads:
             t.start()
 
-    def _device_loop(self):
+    def _loop(self):
+        stopped = False
         while True:
-            item = self.device_queue.get()
+            item = None
+            try:
+                item = self.device_queue.get_nowait()
+            except queue.Empty:
+                pass
+            if item is None and self.sampled_queue is not None:
+                try:
+                    got = self.sampled_queue.get(timeout=0.002)
+                    if got is _STOP:
+                        if stopped:      # both queues drained + stopped
+                            self.result_queue.put(_STOP)
+                            return
+                        got = None
+                    if got is not None:
+                        req_id, seeds, batch, t_enq = got
+                        out = self.infer_fn(seeds, batch)
+                        self.metrics.record(t_enq, len(seeds))
+                        self.result_queue.put((req_id, out))
+                        continue
+                except queue.Empty:
+                    pass
+            if item is None:
+                if stopped and self.sampled_queue is None:
+                    self.result_queue.put(_STOP)
+                    return
+                continue
             if item is _STOP:
-                self.result_queue.put(_STOP)
-                return
+                if self.sampled_queue is None:
+                    self.result_queue.put(_STOP)
+                    return
+                stopped = True
+                continue
             req_id, seeds, t_enq = item
             out = self.infer_fn(seeds, None)
-            self.metrics.record(t_enq, len(seeds))
-            self.result_queue.put((req_id, out))
-
-    def _cpu_loop(self):
-        while True:
-            item = self.sampled_queue.get()
-            if item is _STOP:
-                return
-            req_id, seeds, batch, t_enq = item
-            out = self.infer_fn(seeds, batch)
             self.metrics.record(t_enq, len(seeds))
             self.result_queue.put((req_id, out))
 
