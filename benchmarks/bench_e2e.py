@@ -2,10 +2,11 @@
 headline e2e table (docs/Introduction_en.md:144-149: 3-layer GraphSAGE on
 ogbn-products, 1 GPU Quiver = 11.1 s/epoch, PyG CPU-sampling = 36.5 s).
 
-Same shape/config here: 2.45M nodes / ~61M edges power-law graph,
-196k train seeds (products' split size), batch 1024, fanout [15,10,5],
-hidden 256, 100-dim float32 features, single TPU chip. Synthetic labels
-(no dataset egress) — the timed work is identical.
+Same shape/config: 2.45M nodes / ~61M edges power-law graph, 196k train
+seeds (products' split size), batch 1024, fanout [15,10,5], hidden 256,
+100-dim float32 features, single TPU chip, synthetic labels (no dataset
+egress — the timed work is identical). Uses the fused one-program
+sample+gather+train step (quiver_tpu.train).
 """
 from __future__ import annotations
 
@@ -25,10 +26,10 @@ import optax
 import quiver_tpu
 from quiver_tpu import CSRTopo, NeighborSampler
 from quiver_tpu.models import GraphSAGE
+from quiver_tpu.train import make_sampled_train_step
 
 quiver_tpu.enable_compilation_cache()
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bench import build_graph  # reuse the cached products-like graph
 
 TRAIN_SEEDS = 196_615       # ogbn-products train split size
@@ -46,10 +47,10 @@ def main():
     topo = CSRTopo(indptr=indptr, indices=indices)
     n = topo.node_count
     rng = np.random.default_rng(0)
-    feat = rng.normal(size=(n, DIM)).astype(np.float32)
-    labels = rng.integers(0, CLASSES, n)
-    feat_j = jax.device_put(jnp.asarray(feat))
-    labels_j = jax.device_put(jnp.asarray(labels))
+    feat = jax.device_put(jnp.asarray(
+        rng.normal(size=(n, DIM)).astype(np.float32)))
+    labels = jax.device_put(jnp.asarray(
+        rng.integers(0, CLASSES, n, dtype=np.int32)))
     print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
 
     sampler = NeighborSampler(topo, FANOUT, seed=0)
@@ -58,27 +59,16 @@ def main():
     tx = optax.adam(1e-3)
 
     b0 = sampler.sample(np.arange(BATCH))
-    x0 = feat_j[jnp.clip(b0.n_id, 0, n - 1)]
+    x0 = feat[jnp.clip(b0.n_id, 0, n - 1)]
     params = model.init(jax.random.PRNGKey(0), x0, b0.adjs)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, n_id, adjs, y):
-        x = feat_j[jnp.clip(n_id, 0, n - 1)]
+    step = make_sampled_train_step(model, tx, sampler, feat, labels)
+    key = jax.random.PRNGKey(1)
 
-        def loss_fn(p):
-            logits = model.apply(p, x, adjs)[: y.shape[0]]
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    # warmup / compile
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, b0.n_id, b0.adjs,
-                                   labels_j[jnp.asarray(b0.n_id)[:BATCH]])
+    params, opt_state, loss, _ = step(params, opt_state,
+                                      np.arange(BATCH), key)
     _ = float(loss)
     print(f"compile {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -87,11 +77,9 @@ def main():
     t0 = time.time()
     loss = None
     for s in range(steps):
+        key, sub = jax.random.split(key)
         seeds = train_idx[s * BATCH:(s + 1) * BATCH]
-        b = sampler.sample(seeds)
-        params, opt_state, loss = step(
-            params, opt_state, b.n_id, b.adjs,
-            labels_j[jnp.asarray(seeds)])
+        params, opt_state, loss, _ = step(params, opt_state, seeds, sub)
     lf = float(loss)  # forces the whole in-order stream
     epoch_s = time.time() - t0
     print(f"epoch: {epoch_s:.2f}s for {steps} steps "

@@ -33,13 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.unique import (union_reindex, union_reindex_dense,
-                          union_reindex_fused, SENTINEL)
-
-# Below this node count the O(V) scatter-based dedup beats the
-# O(T log T) sort-based one (and compiles far faster); above it the
-# V-sized tables start to dominate HBM traffic.
-DENSE_REINDEX_MAX_NODES = 1 << 24
+from ..ops.unique import union_reindex_fused, SENTINEL
 from .kernels import (
     sample_adjacency,
     sample_adjacency_window,
@@ -174,10 +168,10 @@ def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sizes", "caps", "batch_size", "weighted", "num_nodes"),
+    static_argnames=("sizes", "caps", "batch_size", "weighted"),
 )
 def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
-                   sizes, caps, batch_size, weighted, num_nodes):
+                   sizes, caps, batch_size, weighted):
     """Jitted multi-layer sample + union/reindex. All shapes static."""
     frontier = jnp.full((batch_size,), SENTINEL, jnp.int32)
     frontier = jax.lax.dynamic_update_slice(frontier, seeds.astype(jnp.int32), (0,))
@@ -376,7 +370,7 @@ class NeighborSampler:
             self.indptr, self.indices, self.row_cdf,
             jnp.asarray(pad), jnp.int32(n), sub,
             sizes=self.sizes, caps=caps, batch_size=bs,
-            weighted=self.weighted, num_nodes=self.csr_topo.node_count)
+            weighted=self.weighted)
 
         adjs = []
         f_cap = bs

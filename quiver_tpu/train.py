@@ -1,0 +1,92 @@
+"""Fused sample -> gather -> forward/backward training step.
+
+The reference pipeline is host-orchestrated: python loop calls the
+sampler kernel, then the feature kernel, then torch autograd
+(examples/pyg/reddit_quiver.py:116-123). On TPU the idiomatic shape is
+ONE jitted program per step — XLA overlaps the feature gather with
+compute, there is a single host->device seed transfer and a single
+dispatch per step, and the whole loop is compiler-scheduled.
+
+Works with the dense positional pipeline (``dedup='none'``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling.sampler import (DenseBlock, _sample_layers_dense,
+                               NeighborSampler)
+
+__all__ = ["make_sampled_train_step"]
+
+
+def make_sampled_train_step(model, tx, sampler: NeighborSampler,
+                            features, labels, loss_fn=None):
+    """Build ``step(params, opt_state, seeds, key) -> (params, opt_state,
+    loss, logits)`` fusing sampling, feature gather, forward and backward
+    into one XLA program.
+
+    Args:
+      model: flax module taking ``(x, adjs)``.
+      tx: optax optimizer.
+      sampler: a dense-mode ``NeighborSampler`` (TPU backend); its graph
+        buffers are closed over as jit constants-by-reference (donated
+        arguments would also work — they are read-only).
+      features: [V, D] device array.
+      labels: [V] int device array.
+      loss_fn: optional (logits, y) -> scalar; defaults to softmax CE.
+    """
+    import optax
+
+    if sampler.dedup != "none" or sampler.mode != "TPU":
+        raise ValueError("fused step needs a TPU dense-mode sampler")
+    if loss_fn is None:
+        def loss_fn(logits, y):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+    sizes = sampler.sizes
+    window = sampler.sampling == "window"
+    V = features.shape[0]
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    def step(params, opt_state, indptr, indices, row_cdf, features, labels,
+             seeds, key, *, batch_size):
+        frontier, f_valid, layer_outs = _sample_layers_dense(
+            indptr, indices, row_cdf, seeds, jnp.int32(batch_size), key,
+            sizes=sizes, batch_size=batch_size,
+            weighted=sampler.weighted, window=window)
+        blocks = []
+        f_cap = batch_size
+        for li, (mask, slot, dst_count) in enumerate(layer_outs):
+            k = sizes[li]
+            blocks.append(DenseBlock(mask=mask, e_id=slot,
+                                     dst_count=dst_count,
+                                     size=(f_cap * (1 + k), f_cap),
+                                     fanout=k))
+            f_cap = f_cap * (1 + k)
+        adjs = tuple(reversed(blocks))
+        x = jnp.take(features, jnp.clip(frontier, 0, V - 1), axis=0)
+        y = jnp.take(labels, seeds, axis=0)
+
+        def compute_loss(p):
+            logits = model.apply(p, x, adjs)[: batch_size]
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logits
+
+    def run(params, opt_state, seeds, key):
+        seeds = jnp.asarray(np.asarray(seeds), jnp.int32)
+        return step(params, opt_state, sampler.indptr, sampler.indices,
+                    sampler.row_cdf, features, labels, seeds, key,
+                    batch_size=int(seeds.shape[0]))
+
+    return run
