@@ -41,7 +41,10 @@ def get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _LIB_PATH.exists():
+        src = _HERE / "quiver_host.cpp"
+        stale = (_LIB_PATH.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+        if not _LIB_PATH.exists() or stale:
             if not _build():
                 _build_failed = True
                 return None
@@ -62,6 +65,9 @@ def get_lib():
                                        ctypes.c_int64, u8p]
         lib.qt_shuffle_rows.argtypes = [i64p, ctypes.c_int64,
                                         ctypes.c_uint64, i32p, i64p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.qt_build_alias.argtypes = [i64p, f32p, ctypes.c_int64,
+                                       f32p, i32p]
         lib.qt_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -127,6 +133,48 @@ def gather_rows(table, ids):
     lib.qt_gather_rows(_p(tb, ctypes.c_uint8), _p(ids, ctypes.c_int64),
                        ids.shape[0], row_bytes, _p(ob, ctypes.c_uint8))
     return out
+
+
+def build_alias(indptr, weights):
+    """Per-row Vose alias tables -> (prob f32[E], alias i32[E]),
+    CSR-slot aligned; alias entries are row-relative positions."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    weights = np.ascontiguousarray(weights, np.float32)
+    E = weights.shape[0]
+    V = indptr.shape[0] - 1
+    lib = get_lib()
+    prob = np.ones(E, np.float32)
+    alias = np.zeros(E, np.int32)
+    if lib is None:
+        # numpy fallback: per-row Vose (slow python loop; small graphs)
+        for v in range(V):
+            s, e = indptr[v], indptr[v + 1]
+            n = e - s
+            if n == 0:
+                continue
+            w = weights[s:e].astype(np.float64)
+            tot = w.sum()
+            if tot <= 0:
+                alias[s:e] = np.arange(n)
+                continue
+            p = (w / tot * n).tolist()
+            small = [i for i in range(n) if p[i] < 1.0]
+            large = [i for i in range(n) if p[i] >= 1.0]
+            while small and large:
+                sm, lg = small.pop(), large.pop()
+                prob[s + sm] = p[sm]
+                alias[s + sm] = lg
+                p[lg] = (p[lg] + p[sm]) - 1.0
+                (small if p[lg] < 1.0 else large).append(lg)
+            for i in small + large:
+                prob[s + i] = 1.0
+                alias[s + i] = i
+        return prob, alias
+    ctypes_f32 = ctypes.c_float
+    lib.qt_build_alias(_p(indptr, ctypes.c_int64),
+                       _p(weights, ctypes_f32), V,
+                       _p(prob, ctypes_f32), _p(alias, ctypes.c_int32))
+    return prob, alias
 
 
 def shuffle_rows(indptr, indices, eid=None, seed: int = 0):

@@ -136,6 +136,50 @@ void qt_shuffle_rows(const int64_t* indptr, int64_t V, uint64_t seed,
     });
 }
 
+// Per-row Vose alias tables over CSR edge weights -> O(1) weighted
+// draws on device (replaces the reference's per-draw inverse-CDF binary
+// search, cuda_random.cu.hpp:179-221). prob/alias are CSR-slot aligned.
+void qt_build_alias(const int64_t* indptr, const float* weights, int64_t V,
+                    float* prob, int32_t* alias) {
+    parallel_for(V, [&](int64_t lo, int64_t hi, int) {
+        std::vector<int64_t> small, large;
+        std::vector<double> p;
+        for (int64_t v = lo; v < hi; ++v) {
+            int64_t s = indptr[v], e = indptr[v + 1];
+            int64_t n = e - s;
+            if (n == 0) continue;
+            double sum = 0;
+            p.assign(n, 0.0);
+            for (int64_t i = 0; i < n; ++i) sum += weights[s + i];
+            if (sum <= 0) {
+                for (int64_t i = 0; i < n; ++i) {
+                    prob[s + i] = 1.0f;
+                    alias[s + i] = static_cast<int32_t>(i);
+                }
+                continue;
+            }
+            for (int64_t i = 0; i < n; ++i)
+                p[i] = weights[s + i] / sum * n;
+            small.clear(); large.clear();
+            for (int64_t i = 0; i < n; ++i)
+                (p[i] < 1.0 ? small : large).push_back(i);
+            while (!small.empty() && !large.empty()) {
+                int64_t sm = small.back(); small.pop_back();
+                int64_t lg = large.back(); large.pop_back();
+                prob[s + sm] = static_cast<float>(p[sm]);
+                alias[s + sm] = static_cast<int32_t>(lg);
+                p[lg] = (p[lg] + p[sm]) - 1.0;
+                (p[lg] < 1.0 ? small : large).push_back(lg);
+            }
+            for (auto rest : {&small, &large})
+                for (int64_t i : *rest) {
+                    prob[s + i] = 1.0f;
+                    alias[s + i] = static_cast<int32_t>(i);
+                }
+        }
+    });
+}
+
 int qt_version() { return 1; }
 
 }  // extern "C"

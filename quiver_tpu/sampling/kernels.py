@@ -207,6 +207,54 @@ def weighted_sample_adjacency(indptr, indices, row_cdf, frontier,
     return nbr, mask, slot
 
 
+def build_alias_table(indptr, weights):
+    """Host-side: per-row Vose alias tables packed as one [E, 2] int32
+    array (col 0 = acceptance probability as float32 bits, col 1 =
+    row-relative alias position), so the device reads BOTH with a single
+    8-byte row gather per draw. Replaces the 32-step inverse-CDF binary
+    search (reference weight_sample cuda_random.cu.hpp:179-221) with an
+    O(1) draw."""
+    import numpy as np
+    from .. import native
+
+    prob, alias = native.build_alias(indptr, weights)
+    packed = np.empty((prob.shape[0], 2), np.int32)
+    packed[:, 0] = prob.view(np.int32)
+    packed[:, 1] = alias
+    return packed
+
+
+def weighted_sample_alias(indptr, indices, alias2d, frontier,
+                          frontier_valid, k: int, key):
+    """Weighted fanout-k sampling WITH replacement via alias tables.
+
+    Per lane: one uniform picks a candidate slot, one 8-byte row gather
+    fetches (acceptance prob, alias position), a second uniform accepts
+    or redirects — two gather descriptors per lane total (incl. the
+    final neighbor read) instead of 32 binary-search probes.
+    Same contract as :func:`weighted_sample_adjacency`.
+    """
+    start, deg = _row_ranges(indptr, frontier, frontier_valid)
+    N = frontier.shape[0]
+    u = jax.random.uniform(key, (2, N, k))
+    pos = jnp.minimum((u[0] * deg[:, None].astype(u.dtype)).astype(jnp.int32),
+                      jnp.maximum(deg - 1, 0)[:, None])
+    slot = start[:, None] + pos
+    E = alias2d.shape[0]
+    pa = jnp.take(alias2d, jnp.clip(slot, 0, E - 1), axis=0)   # [N, k, 2]
+    acc_p = jax.lax.bitcast_convert_type(pa[..., 0], jnp.float32)
+    alias_pos = pa[..., 1]
+    pos2 = jnp.where(u[1] <= acc_p, pos, alias_pos)
+    slot = start[:, None] + pos2
+
+    ar = jnp.arange(k, dtype=jnp.int32)
+    mask = (deg > 0)[:, None] & frontier_valid[:, None] & (ar[None, :] < k)
+    slot = jnp.where(mask, slot, 0)
+    nbr = jnp.take(indices, jnp.clip(slot, 0, indices.shape[0] - 1),
+                   mode="clip").astype(jnp.int32)
+    return nbr, mask, slot
+
+
 def build_row_cdf(indptr, weights):
     """Host-side: per-row inclusive CDF over CSR edge weights (float64
     accumulation, float32 storage; last entry of each non-empty row == 1).

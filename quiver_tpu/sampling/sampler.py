@@ -39,6 +39,8 @@ from .kernels import (
     sample_adjacency_window,
     build_window_layout,
     weighted_sample_adjacency,
+    weighted_sample_alias,
+    build_alias_table,
     build_row_cdf,
     cal_next_prob,
 )
@@ -150,7 +152,7 @@ def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
     for k in sizes:
         key, sub = jax.random.split(key)
         if weighted:
-            nbr, mask, slot = weighted_sample_adjacency(
+            nbr, mask, slot = weighted_sample_alias(
                 indptr, indices, row_cdf, frontier, f_valid, k, sub)
         elif window:
             meta, ind2d = indices
@@ -183,7 +185,7 @@ def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
         key, sub = jax.random.split(key)
         f_valid = jnp.arange(f_cap, dtype=jnp.int32) < f_count
         if weighted:
-            nbr, mask, slot = weighted_sample_adjacency(
+            nbr, mask, slot = weighted_sample_alias(
                 indptr, indices, row_cdf, frontier, f_valid, k, sub)
         else:
             nbr, mask, slot = sample_adjacency(
@@ -271,10 +273,12 @@ class NeighborSampler:
             else:
                 self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
             if self.weighted:
-                cdf = build_row_cdf(csr_topo.indptr, csr_topo.edge_weight)
-                self.row_cdf = put(jnp.asarray(cdf, jnp.float32))
+                # packed per-row alias tables (prob bits | alias pos)
+                packed = build_alias_table(csr_topo.indptr,
+                                           csr_topo.edge_weight)
+                self.row_cdf = put(jnp.asarray(packed))
             else:
-                self.row_cdf = put(jnp.zeros((1,), jnp.float32))
+                self.row_cdf = put(jnp.zeros((1, 2), jnp.int32))
         else:
             from . import cpu_ref
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,

@@ -325,3 +325,25 @@ def test_window_vs_exact_same_contract():
             assert set(got) <= set(edges[gid]), (strat, gid, got)
             # window without replacement within a draw
             assert len(set(got)) == len(got)
+
+
+def test_weighted_alias_distribution_dense():
+    """Alias-table weighted sampling (dense mode) matches edge weights."""
+    deg, k, trials = 5, 2, 3000
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    w = np.array([1.0, 2.0, 3.0, 6.0, 0.5], np.float32)
+    topo = CSRTopo(edge_index=np.stack([row, col]), edge_weight=w,
+                   num_nodes=deg + 1)
+    s = NeighborSampler(topo, [k], mode="TPU", weighted=True, seed=0,
+                        dedup="none")
+    counts = np.zeros(deg + 1)
+    for _ in range(trials):
+        b = s.sample([0])
+        blk = b.adjs[0]
+        F = blk.size[1]
+        n_id = np.asarray(b.n_id)
+        m = np.asarray(blk.mask)[0]
+        np.add.at(counts, n_id[F:F + k][m[:k]], 1)  # count repeats!
+    freq = counts[1:] / counts.sum()
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.04)
