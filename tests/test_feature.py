@@ -149,3 +149,23 @@ def test_dist_feature_exchange_mesh():
     ids = rng.integers(0, V, 100)
     out = np.asarray(dist[ids])
     np.testing.assert_allclose(out, feat[ids], rtol=1e-6)
+
+
+def test_feature_p2p_clique_sharded_policy():
+    """p2p_clique_replicate: hot rows sharded across the mesh; gather
+    must still match ground truth (the NVLink-clique analogue)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(7)
+    topo, feat = _graph_and_features(rng, n=256, d=8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cache",))
+    budget = 16 * feat.itemsize * feat.shape[1]  # 16 rows/device * 8 = 128
+    f = Feature(device_cache_size=budget, cache_policy="p2p_clique_replicate",
+                csr_topo=topo, mesh=mesh)
+    f.from_cpu_tensor(feat.copy())
+    assert f.hot_rows == 128
+    ids = rng.integers(0, 256, 200)
+    np.testing.assert_allclose(np.asarray(f[ids]), feat[ids], rtol=1e-6)
+    # hot tier really is sharded over the mesh
+    shardings = {str(s.device) for s in f.hot.addressable_shards}
+    assert len(shardings) == 8
