@@ -21,7 +21,7 @@ import numpy as np
 from .sampling.sampler import (DenseBlock, _sample_layers_dense,
                                NeighborSampler)
 
-__all__ = ["make_sampled_train_step"]
+__all__ = ["make_sampled_train_step", "make_pipelined_train_step"]
 
 
 def make_sampled_train_step(model, tx, sampler: NeighborSampler,
@@ -90,3 +90,87 @@ def make_sampled_train_step(model, tx, sampler: NeighborSampler,
                     batch_size=int(seeds.shape[0]))
 
     return run
+
+
+def make_pipelined_train_step(model, tx, sampler: NeighborSampler,
+                              features, labels, loss_fn=None):
+    """Software-pipelined variant: ONE program trains on batch t while
+    sampling batch t+1, so the sampler's gather traffic overlaps the
+    model's MXU work (XLA schedules the independent halves).
+
+    Returns ``(prime, step)``:
+      carry = prime(seeds0, key)                    # sample first batch
+      params, opt, loss, carry = step(params, opt, carry, next_seeds, key)
+    The loss returned by call t is for the batch sampled at call t-1.
+    On the final call pass any seeds (e.g. the same) and discard carry.
+    """
+    import optax
+
+    if sampler.dedup != "none" or sampler.mode != "TPU":
+        raise ValueError("pipelined step needs a TPU dense-mode sampler")
+    if loss_fn is None:
+        def loss_fn(logits, y):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+    sizes = sampler.sizes
+    window = sampler.sampling == "window"
+    V = features.shape[0]
+
+    def _sample(indptr, indices, row_cdf, seeds, key, batch_size):
+        frontier, f_valid, layer_outs = _sample_layers_dense(
+            indptr, indices, row_cdf, seeds, jnp.int32(batch_size), key,
+            sizes=sizes, batch_size=batch_size,
+            weighted=sampler.weighted, window=window)
+        return dict(frontier=frontier, seeds=seeds,
+                    masks=tuple(m for m, _, _ in layer_outs),
+                    slots=tuple(s for _, s, _ in layer_outs),
+                    counts=tuple(c for _, _, c in layer_outs))
+
+    def _blocks(carry, batch_size):
+        blocks = []
+        f_cap = batch_size
+        for li, k in enumerate(sizes):
+            blocks.append(DenseBlock(
+                mask=carry["masks"][li], e_id=carry["slots"][li],
+                dst_count=carry["counts"][li],
+                size=(f_cap * (1 + k), f_cap), fanout=k))
+            f_cap = f_cap * (1 + k)
+        return tuple(reversed(blocks))
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    def prime_fn(indptr, indices, row_cdf, seeds, key, *, batch_size):
+        return _sample(indptr, indices, row_cdf, seeds, key, batch_size)
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    def step_fn(params, opt_state, indptr, indices, row_cdf, features,
+                labels, carry, next_seeds, key, *, batch_size):
+        # train on the carried batch ...
+        adjs = _blocks(carry, batch_size)
+        x = jnp.take(features, jnp.clip(carry["frontier"], 0, V - 1), axis=0)
+        y = jnp.take(labels, carry["seeds"], axis=0)
+
+        def compute_loss(p):
+            logits = model.apply(p, x, adjs)[: batch_size]
+            return loss_fn(logits, y)
+
+        loss, grads = jax.value_and_grad(compute_loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # ... while sampling the next one (independent -> overlapped)
+        new_carry = _sample(indptr, indices, row_cdf, next_seeds, key,
+                            batch_size)
+        return params, opt_state, loss, new_carry
+
+    def prime(seeds, key):
+        seeds = jnp.asarray(np.asarray(seeds), jnp.int32)
+        return prime_fn(sampler.indptr, sampler.indices, sampler.row_cdf,
+                        seeds, key, batch_size=int(seeds.shape[0]))
+
+    def step(params, opt_state, carry, next_seeds, key):
+        next_seeds = jnp.asarray(np.asarray(next_seeds), jnp.int32)
+        return step_fn(params, opt_state, sampler.indptr, sampler.indices,
+                       sampler.row_cdf, features, labels, carry, next_seeds,
+                       key, batch_size=int(next_seeds.shape[0]))
+
+    return prime, step

@@ -194,3 +194,35 @@ def test_fused_train_step_learns():
         params, opt_state, loss, logits = step(params, opt_state, seeds, sub)
         losses.append(float(loss))
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
+
+
+def test_pipelined_train_step_learns():
+    """Pipelined variant: same learning signal, one-step-delayed loss."""
+    import optax
+    from quiver_tpu.train import make_pipelined_train_step
+
+    rng = np.random.default_rng(0)
+    topo, feat, labels = _community_graph(rng)
+    n = topo.node_count
+    sampler = NeighborSampler(topo, [5, 5], mode="TPU", seed=0,
+                              dedup="none")
+    model = GraphSAGE(hidden_features=32, out_features=4, num_layers=2,
+                      dropout=0.0)
+    b0 = sampler.sample(np.arange(64))
+    x0 = jnp.asarray(feat)[jnp.clip(b0.n_id, 0, n - 1)]
+    params = model.init(jax.random.PRNGKey(0), x0, b0.adjs)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    prime, step = make_pipelined_train_step(model, tx, sampler,
+                                            jnp.asarray(feat),
+                                            jnp.asarray(labels))
+    key = jax.random.PRNGKey(1)
+    carry = prime(rng.choice(n, 64, replace=False), key)
+    losses = []
+    for it in range(60):
+        key, sub = jax.random.split(key)
+        seeds = rng.choice(n, 64, replace=False)
+        params, opt_state, loss, carry = step(params, opt_state, carry,
+                                              seeds, sub)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
