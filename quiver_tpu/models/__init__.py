@@ -1,4 +1,5 @@
-from .layers import SAGEConv, GATConv, RGCNConv
+from .layers import SAGEConv, GATConv, GCNConv, RGCNConv
 from .nets import GraphSAGE, GAT, RGCN
 
-__all__ = ["SAGEConv", "GATConv", "RGCNConv", "GraphSAGE", "GAT", "RGCN"]
+__all__ = ["SAGEConv", "GATConv", "GCNConv", "RGCNConv",
+           "GraphSAGE", "GAT", "RGCN"]

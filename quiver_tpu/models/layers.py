@@ -137,6 +137,43 @@ class GATConv(nn.Module):
         return out
 
 
+class GCNConv(nn.Module):
+    """Graph convolution with symmetric normalization (Kipf & Welling),
+    PyG-equivalent math: x'_i = sum_j (1/sqrt(d_i d_j)) W x_j (+ self
+    loop when ``add_self_loops``). Degrees are taken from the provided
+    ``degree`` array (global in-degrees incl. self-loops); on sampled
+    blocks pass the true global degrees so normalization matches
+    full-graph semantics.
+    """
+    out_features: int
+    add_self_loops: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_src, adj, degree_src, degree_dst=None):
+        dst_cap = adj.size[1]
+        if degree_dst is None:
+            degree_dst = degree_src[:dst_cap]
+        xw = nn.Dense(self.out_features, use_bias=False, name="lin")(x_src)
+        inv_s = jax.lax.rsqrt(jnp.maximum(degree_src.astype(xw.dtype), 1))
+        inv_d = jax.lax.rsqrt(jnp.maximum(degree_dst.astype(xw.dtype), 1))
+        if _is_dense(adj):
+            F, k = dst_cap, adj.fanout
+            lanes = (xw * inv_s[:, None])[F:F + F * k].reshape(F, k, -1)
+            m = adj.mask[..., None].astype(xw.dtype)
+            out = (lanes * m).sum(1) * inv_d[:, None]
+        else:
+            src, dst = adj.edge_index[0], adj.edge_index[1]
+            msgs = jnp.take(xw * inv_s[:, None], src, axis=0)
+            out = segment_sum(msgs, dst, dst_cap, adj.mask) * inv_d[:, None]
+        if self.add_self_loops:
+            out = out + xw[:dst_cap] * (inv_d * inv_d)[:, None]
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.out_features,))
+        return out
+
+
 class RGCNConv(nn.Module):
     """Relational GCN over typed edges (heterogeneous graphs, MAG240M-style).
 

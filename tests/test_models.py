@@ -226,3 +226,32 @@ def test_pipelined_train_step_learns():
                                               seeds, sub)
         losses.append(float(loss))
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
+
+
+def test_gcnconv_matches_oracle_full_graph():
+    """GCNConv on the full graph vs a numpy oracle of Kipf-Welling
+    normalization (self-loop-augmented degrees)."""
+    from quiver_tpu.models import GCNConv
+
+    rng = np.random.default_rng(5)
+    topo, feat, _ = _community_graph(rng, n=40)
+    n = topo.node_count
+    fadj = full_graph_adj(topo.indptr, topo.indices)
+    # in-degree + self loop (aggregation is over CSR rows' neighbors)
+    deg = topo.degree + 1
+    layer = GCNConv(8)
+    x = jnp.asarray(feat)
+    params = layer.init(jax.random.PRNGKey(0), x, fadj, jnp.asarray(deg))
+    out = np.asarray(layer.apply(params, x, fadj, jnp.asarray(deg)))
+
+    W = np.asarray(params["params"]["lin"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    xw = feat @ W
+    ref = np.zeros_like(xw[:n])
+    for v in range(n):
+        acc = xw[v] / deg[v]  # self loop: 1/sqrt(dv)/sqrt(dv)
+        for sl in range(topo.indptr[v], topo.indptr[v + 1]):
+            u = topo.indices[sl]
+            acc = acc + xw[u] / (np.sqrt(deg[v]) * np.sqrt(deg[u]))
+        ref[v] = acc + b
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
