@@ -47,8 +47,9 @@ def main():
     topo = CSRTopo(indptr=indptr, indices=indices)
     n = topo.node_count
     rng = np.random.default_rng(0)
+    # bf16 feature storage halves gather bytes; loss math stays fp32
     feat = jax.device_put(jnp.asarray(
-        rng.normal(size=(n, DIM)).astype(np.float32)))
+        rng.normal(size=(n, DIM)).astype(np.float32)).astype(jnp.bfloat16))
     labels = jax.device_put(jnp.asarray(
         rng.integers(0, CLASSES, n, dtype=np.int32)))
     print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
@@ -63,7 +64,14 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x0, b0.adjs)
     opt_state = tx.init(params)
 
-    step = make_sampled_train_step(model, tx, sampler, feat, labels)
+    import optax as _optax
+
+    def loss_fn(logits, y):
+        return _optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), y).mean()
+
+    step = make_sampled_train_step(model, tx, sampler, feat, labels,
+                                   loss_fn=loss_fn)
     key = jax.random.PRNGKey(1)
 
     t0 = time.time()

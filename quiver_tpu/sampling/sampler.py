@@ -259,6 +259,12 @@ class NeighborSampler:
             raise ValueError("weighted sampling requires csr_topo.edge_weight")
 
         if self.mode == "TPU":
+            if csr_topo.edge_count >= 2**31:
+                raise ValueError(
+                    f"graph has {csr_topo.edge_count} edges; single-chip "
+                    "CSR slots are int32 (< 2^31). Partition across hosts "
+                    "with quiver_tpu.parallel.DistNeighborSampler (each "
+                    "shard's local edge count must stay below 2^31).")
             put = functools.partial(jax.device_put, device=device)
             self.indptr = put(jnp.asarray(csr_topo.indptr, jnp.int32))
             self.shuffle_eid = None
