@@ -145,19 +145,41 @@ class InferenceServer:
     supported on every backend. The thread drains the device queue with
     priority and falls back to CPU-presampled batches (the reference
     instead dedicates processes per GPU, serving.py:186-230).
+
+    ``coalesce_max_seeds > 0`` enables continuous batching: waiting
+    device-queue requests are merged into one padded inference up to
+    that many seeds, then split back per request — amortizing dispatch
+    and compile-bucket costs across small requests.
     """
 
     def __init__(self, device_queue: queue.Queue,
                  sampled_queue: Optional[queue.Queue],
-                 infer_fn: Callable, result_queue: Optional[queue.Queue] = None):
+                 infer_fn: Callable, result_queue: Optional[queue.Queue] = None,
+                 coalesce_max_seeds: int = 0):
         self.device_queue = device_queue
         self.sampled_queue = sampled_queue
         self.infer_fn = infer_fn
         self.result_queue = result_queue or queue.Queue()
+        self.coalesce_max_seeds = coalesce_max_seeds
         self.metrics = ServerMetrics()
         self._threads = [threading.Thread(target=self._loop, daemon=True)]
         for t in self._threads:
             t.start()
+
+    def _serve_device_items(self, items):
+        if len(items) == 1 or not self.coalesce_max_seeds:
+            for req_id, seeds, t_enq in items:
+                out = self.infer_fn(seeds, None)
+                self.metrics.record(t_enq, len(seeds))
+                self.result_queue.put((req_id, out))
+            return
+        merged = np.concatenate([s for _, s, _ in items])
+        outs = self.infer_fn(merged, None)
+        off = 0
+        for req_id, seeds, t_enq in items:
+            self.metrics.record(t_enq, len(seeds))
+            self.result_queue.put((req_id, outs[off: off + len(seeds)]))
+            off += len(seeds)
 
     def _loop(self):
         stopped = False
@@ -194,10 +216,19 @@ class InferenceServer:
                     return
                 stopped = True
                 continue
-            req_id, seeds, t_enq = item
-            out = self.infer_fn(seeds, None)
-            self.metrics.record(t_enq, len(seeds))
-            self.result_queue.put((req_id, out))
+            items = [item]
+            total = len(item[1])
+            while self.coalesce_max_seeds and total < self.coalesce_max_seeds:
+                try:
+                    nxt = self.device_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self.device_queue.put(_STOP)  # reprocess next round
+                    break
+                items.append(nxt)
+                total += len(nxt[1])
+            self._serve_device_items(items)
 
     def join(self, timeout=None):
         for t in self._threads:

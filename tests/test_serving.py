@@ -94,3 +94,31 @@ def test_serving_end_to_end():
     assert m["p99_ms"] >= m["p50_ms"] >= 0
     assert m["throughput_rps"] > 0
     rb.stop()
+
+
+def test_serving_coalesced_batching():
+    """coalesce_max_seeds merges waiting device requests into one
+    inference call; results still split correctly per request."""
+    calls = []
+
+    def infer_fn(seeds, presampled):
+        calls.append(len(seeds))
+        return np.asarray(seeds) * 2.0
+
+    dq = queue.Queue()
+    server = InferenceServer(dq, None, infer_fn, coalesce_max_seeds=64)
+    rng = np.random.default_rng(0)
+    reqs = {}
+    for i in range(12):
+        seeds = rng.integers(0, 100, rng.integers(2, 6))
+        reqs[i] = seeds
+        dq.put((i, seeds, time.time()))
+    got = {}
+    for _ in range(12):
+        rid, out = server.result_queue.get(timeout=20)
+        got[rid] = out
+    for i, seeds in reqs.items():
+        np.testing.assert_allclose(got[i], seeds * 2.0)
+    # fewer inference calls than requests -> coalescing actually happened
+    assert len(calls) < 12
+    dq.put(None)  # unused; server keeps polling (daemon thread)
