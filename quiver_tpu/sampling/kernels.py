@@ -255,6 +255,83 @@ def weighted_sample_alias(indptr, indices, alias2d, frontier,
     return nbr, mask, slot
 
 
+_PACKED_LANES = 64  # block width of the packed triple layout
+
+
+def build_packed_layout(indptr, indices):
+    """Host-side prep for PACKED window sampling: each (pre-shuffled)
+    edge is stored as an interleaved triple
+    ``(neighbor id, neighbor row start, neighbor degree)`` so a sampled
+    lane carries everything the NEXT hop needs — no per-row meta lookup
+    at all. Layout: [blocks, 64] int32 over the stride-3 stream.
+
+    Returns (packed2d [B, 64] int32, seed_meta [V, 2] int32).
+    """
+    import numpy as np
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int32)
+    V = indptr.shape[0] - 1
+    E = indices.shape[0]
+    start = indptr[:-1].astype(np.int32)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int32)
+    stream = np.empty(3 * E, np.int32)
+    stream[0::3] = indices
+    stream[1::3] = start[indices]
+    stream[2::3] = deg[indices]
+    W = _PACKED_LANES
+    blocks = (3 * E + 4 * W) // W + 1
+    packed = np.zeros((blocks, W), np.int32)
+    packed.reshape(-1)[:3 * E] = stream
+    seed_meta = np.stack([start, deg], 1)
+    return packed, seed_meta
+
+
+def sample_adjacency_packed(packed2d, frontier3, frontier_valid, k: int,
+                            key):
+    """Window sampling over the packed triple layout.
+
+    ``frontier3``: [N, 3] int32 rows (id, row start, degree) — sampled
+    lanes of the previous hop, or seed rows built from ``seed_meta``.
+    Two narrow block-row gathers per frontier row cover the whole
+    window INCLUDING each neighbor's (start, deg), so multi-hop
+    sampling does one descriptor fewer per row than the plain window
+    kernel. Returns (nbr3 [N, k, 3], mask [N, k], slot [N, k]).
+    """
+    W = _PACKED_LANES
+    assert 3 * k + 2 < 2 * W, f"fanout {k} too large for packed layout"
+    N = frontier3.shape[0]
+    start = frontier3[:, 1]
+    deg = jnp.where(frontier_valid, frontier3[:, 2], 0)
+
+    u = jax.random.uniform(key, (N,))
+    span = jnp.maximum(deg - k + 1, 1).astype(u.dtype)
+    off = jnp.minimum((u * span).astype(jnp.int32),
+                      jnp.maximum(deg - k, 0))
+    s = start + off                      # first sampled slot
+    lane0 = 3 * s
+    g = lane0 // W
+    G = packed2d.shape[0]
+    gg = jnp.stack([jnp.clip(g, 0, G - 1), jnp.clip(g + 1, 0, G - 1)], 1)
+    rows = jnp.take(packed2d, gg.reshape(-1), axis=0).reshape(N, 2 * W)
+    rel = lane0 % W
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+    fields = []
+    for j in range(k):
+        lane_vals = []
+        for f in range(3):
+            m = iota == (rel[:, None] + 3 * j + f)
+            lane_vals.append(jnp.sum(jnp.where(m, rows, 0), axis=1))
+        fields.append(jnp.stack(lane_vals, 1))
+    nbr3 = jnp.stack(fields, 1)          # [N, k, 3]
+
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    mask = (j < jnp.minimum(deg, k)[:, None]) & frontier_valid[:, None]
+    slot = jnp.where(mask, s[:, None] + j, 0)
+    nbr3 = jnp.where(mask[..., None], nbr3, 0)
+    return nbr3, mask, slot
+
+
 def build_row_cdf(indptr, weights):
     """Host-side: per-row inclusive CDF over CSR edge weights (float64
     accumulation, float32 storage; last entry of each non-empty row == 1).

@@ -37,7 +37,9 @@ from ..ops.unique import union_reindex_fused, SENTINEL
 from .kernels import (
     sample_adjacency,
     sample_adjacency_window,
+    sample_adjacency_packed,
     build_window_layout,
+    build_packed_layout,
     weighted_sample_adjacency,
     weighted_sample_alias,
     build_alias_table,
@@ -170,6 +172,33 @@ def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("sizes", "batch_size"),
+)
+def _sample_layers_packed(packed2d, seed_meta, seeds, seed_count, key, *,
+                          sizes, batch_size):
+    """Dense positional sampling over the packed triple layout: after the
+    one seed-meta lookup, every hop is self-describing (lanes carry the
+    next hop's row start + degree) — two narrow block gathers per row
+    and nothing else."""
+    V = seed_meta.shape[0]
+    sid = jnp.clip(seeds.astype(jnp.int32), 0, V - 1)
+    meta = jnp.take(seed_meta, sid, axis=0)             # [bs, 2]
+    frontier3 = jnp.concatenate([sid[:, None], meta], 1)
+    f_valid = jnp.arange(batch_size, dtype=jnp.int32) < seed_count
+    frontier3 = jnp.where(f_valid[:, None], frontier3, 0)
+    layer_outs = []
+    for k in sizes:
+        key, sub = jax.random.split(key)
+        nbr3, mask, slot = sample_adjacency_packed(
+            packed2d, frontier3, f_valid, k, sub)
+        layer_outs.append((mask, slot, jnp.sum(f_valid).astype(jnp.int32)))
+        frontier3 = jnp.concatenate([frontier3, nbr3.reshape(-1, 3)])
+        f_valid = jnp.concatenate([f_valid, mask.reshape(-1)])
+    return frontier3[:, 0], f_valid, layer_outs
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("sizes", "caps", "batch_size", "weighted"),
 )
 def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
@@ -236,9 +265,9 @@ class NeighborSampler:
             raise ValueError(f"unknown mode {mode!r}")
         if dedup not in ("none", "per_hop"):
             raise ValueError(f"dedup must be 'none' or 'per_hop', got {dedup!r}")
-        if sampling not in ("window", "exact"):
-            raise ValueError(
-                f"sampling must be 'window' or 'exact', got {sampling!r}")
+        if sampling not in ("window", "exact", "packed"):
+            raise ValueError("sampling must be 'window', 'exact' or "
+                             f"'packed', got {sampling!r}")
         # GPU/UVA accepted as aliases for migration friendliness.
         self.mode = "CPU" if mode == "CPU" else "TPU"
         self.dedup = dedup
@@ -248,9 +277,11 @@ class NeighborSampler:
         self.weighted = bool(weighted)
         # window sampling needs shuffled rows + dense pipeline; it falls
         # back to exact for weighted / per-hop-dedup paths.
-        self.sampling = ("window" if (sampling == "window"
-                                      and not weighted and dedup == "none")
-                         else "exact")
+        # window/packed need shuffled rows + the dense pipeline; they
+        # fall back to exact for weighted / per-hop-dedup paths.
+        if weighted or dedup != "none":
+            sampling = "exact"
+        self.sampling = sampling
         self.device = device
         self._key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
@@ -276,6 +307,13 @@ class NeighborSampler:
                 # the (meta, ind2d) pair plays the role of `indices`
                 self.indices = (put(jnp.asarray(meta)),
                                 put(jnp.asarray(ind2d)))
+            elif self.sampling == "packed":
+                shuffled, self.shuffle_eid = self._shuffled_indices(
+                    csr_topo, seed)
+                packed2d, seed_meta = build_packed_layout(
+                    csr_topo.indptr, shuffled)
+                self.indices = (put(jnp.asarray(packed2d)),
+                                put(jnp.asarray(seed_meta)))
             else:
                 self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
             if self.weighted:
@@ -294,16 +332,22 @@ class NeighborSampler:
     def reshuffle(self, seed: int = None) -> None:
         """Re-permute every row's neighbor order (window sampling only).
         Call between epochs to refresh the window family."""
-        if self.sampling != "window":
+        if self.sampling not in ("window", "packed"):
             return
         if seed is None:
             seed = int(self._rng.integers(2**31))
         shuffled, self.shuffle_eid = self._shuffled_indices(
             self.csr_topo, seed)
-        ind2d, meta = build_window_layout(
-            self.csr_topo.indptr, shuffled, max(self.sizes))
         put = functools.partial(jax.device_put, device=self.device)
-        self.indices = (put(jnp.asarray(meta)), put(jnp.asarray(ind2d)))
+        if self.sampling == "window":
+            ind2d, meta = build_window_layout(
+                self.csr_topo.indptr, shuffled, max(self.sizes))
+            self.indices = (put(jnp.asarray(meta)), put(jnp.asarray(ind2d)))
+        else:
+            packed2d, seed_meta = build_packed_layout(
+                self.csr_topo.indptr, shuffled)
+            self.indices = (put(jnp.asarray(packed2d)),
+                            put(jnp.asarray(seed_meta)))
 
     @staticmethod
     def _shuffled_indices(csr_topo, seed):
@@ -355,11 +399,17 @@ class NeighborSampler:
         caps = _layer_capacities(bs, self.sizes, self.capacities)
 
         if self.dedup == "none":
-            frontier, f_valid, layer_outs = _sample_layers_dense(
-                self.indptr, self.indices, self.row_cdf,
-                jnp.asarray(pad), jnp.int32(n), sub,
-                sizes=self.sizes, batch_size=bs, weighted=self.weighted,
-                window=self.sampling == "window")
+            if self.sampling == "packed":
+                packed2d, seed_meta = self.indices
+                frontier, f_valid, layer_outs = _sample_layers_packed(
+                    packed2d, seed_meta, jnp.asarray(pad), jnp.int32(n),
+                    sub, sizes=self.sizes, batch_size=bs)
+            else:
+                frontier, f_valid, layer_outs = _sample_layers_dense(
+                    self.indptr, self.indices, self.row_cdf,
+                    jnp.asarray(pad), jnp.int32(n), sub,
+                    sizes=self.sizes, batch_size=bs, weighted=self.weighted,
+                    window=self.sampling == "window")
             blocks = []
             f_cap = bs
             for li, (mask, slot, dst_count) in enumerate(layer_outs):

@@ -347,3 +347,58 @@ def test_weighted_alias_distribution_dense():
         np.add.at(counts, n_id[F:F + k][m[:k]], 1)  # count repeats!
     freq = counts[1:] / counts.sum()
     np.testing.assert_allclose(freq, w / w.sum(), atol=0.04)
+
+
+@pytest.mark.parametrize("strat", ["packed"])
+def test_packed_sampling_contract(strat):
+    """Packed triple layout: valid neighbors, min(deg,k) counts, correct
+    slots, and lanes carry consistent (start, deg) for the next hop
+    (verified implicitly by 2-hop validity)."""
+    topo, edges = simple_graph()
+    s = NeighborSampler(topo, [3, 2], mode="TPU", seed=0, dedup="none",
+                        sampling=strat)
+    assert s.sampling == strat
+    b = s.sample([0, 5, 4])
+    n_id = np.asarray(b.n_id)
+    assert n_id[:3].tolist() == [0, 5, 4]
+    blocks = list(reversed(b.adjs))
+    F = b.batch_size
+    for li, blk in enumerate(blocks):
+        k = blk.fanout
+        mask = np.asarray(blk.mask)
+        eid = np.asarray(blk.e_id)
+        for i in range(F):
+            gid = int(n_id[i])
+            if gid not in edges:
+                continue
+            got = [int(n_id[F + i * k + j]) for j in range(k) if mask[i, j]]
+            assert set(got) <= set(edges[gid]), (li, gid, got)
+            if li == 0 and i < 3:
+                assert len(got) == min(len(edges[gid]), k)
+            for j in range(k):
+                if mask[i, j]:
+                    sl = int(eid[i, j])
+                    lo, hi = topo.indptr[gid], topo.indptr[gid + 1]
+                    assert lo <= sl < hi
+        F = F * (1 + k)
+
+
+def test_packed_uniform_marginals_over_shuffles():
+    deg, k = 12, 3
+    n_shuffles, trials = 16, 250
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=deg + 1)
+    counts = np.zeros(deg + 1)
+    for seed in range(n_shuffles):
+        s = NeighborSampler(topo, [k], mode="TPU", seed=seed, dedup="none",
+                            sampling="packed")
+        for _ in range(trials):
+            b = s.sample([0])
+            blk = b.adjs[0]
+            F = blk.size[1]
+            n_id = np.asarray(b.n_id)
+            m = np.asarray(blk.mask)[0]
+            np.add.at(counts, n_id[F:F + k][m[:k]], 1)
+    freq = counts[1:] / (n_shuffles * trials)
+    np.testing.assert_allclose(freq, k / deg, atol=0.07)
