@@ -38,8 +38,6 @@ def _check_batch(batch, edges, seeds, sizes):
 
     # adjs are reversed: adjs[0] is the outermost (last-sampled) block.
     assert len(batch.adjs) == len(sizes)
-    for adj, k in zip(batch.adjs, reversed(list(range(len(sizes))))):
-        pass
     for li, adj in enumerate(reversed(batch.adjs)):  # inner -> outer
         k = sizes[li]
         ei = np.asarray(adj.edge_index)

@@ -64,3 +64,18 @@ def test_reindex_feature_hot_prefix_is_high_degree():
     # permutation consistency
     assert np.all(new2old[old2new] == np.arange(n))
     assert np.allclose(newf[:, 0], new2old)
+
+
+def test_public_api_surface():
+    """Every exported name resolves (incl. lazy submodule attrs)."""
+    import quiver_tpu as qt
+
+    for name in qt.__all__:
+        assert getattr(qt, name) is not None
+    for lazy in ("Feature", "DistFeature", "PartitionInfo",
+                 "partition_without_replication", "generate_neighbour_num",
+                 "MixedSampler", "SampleJob", "CommWorld", "models",
+                 "serving", "parallel", "checkpoint", "profiling", "native"):
+        assert getattr(qt, lazy) is not None
+    from quiver_tpu.pyg import GraphSageSampler, MixedGraphSageSampler
+    assert GraphSageSampler is qt.NeighborSampler
