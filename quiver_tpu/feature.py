@@ -91,10 +91,13 @@ class Feature:
                       "disk_hits": 0}
 
     # -- construction -----------------------------------------------------
-    def from_cpu_tensor(self, tensor) -> "Feature":
-        """Split a host array into [hot | cold] by the cache budget,
-        degree-reordering first when a csr_topo is attached
-        (reference from_cpu_tensor feature.py:194-281)."""
+    def from_cpu_tensor(self, tensor, access_prob=None) -> "Feature":
+        """Split a host array into [hot | cold] by the cache budget.
+
+        Hot-row placement order: by ``access_prob`` when given (the
+        reference's probability-driven cache order, partition.py
+        cache_order artifacts), else by degree when a csr_topo is
+        attached (reference from_cpu_tensor feature.py:194-281)."""
         tensor = np.asarray(tensor)
         V, D = tensor.shape
         self.shape = (V, D)
@@ -105,7 +108,15 @@ class Feature:
             budget *= self.mesh.devices.size
         hot_rows = min(V, budget // max(row_bytes, 1))
 
-        if self.csr_topo is not None:
+        if access_prob is not None:
+            new2old = np.argsort(-np.asarray(access_prob), kind="stable")
+            old2new = np.empty_like(new2old)
+            old2new[new2old] = np.arange(V)
+            tensor = tensor[new2old]
+            self.feature_order = old2new
+            if self.csr_topo is not None:
+                self.csr_topo.feature_order = old2new
+        elif self.csr_topo is not None:
             cache_ratio = hot_rows / max(V, 1)
             tensor, old2new, new2old = reindex_feature(
                 self.csr_topo, tensor, cache_ratio)

@@ -169,3 +169,21 @@ def test_feature_p2p_clique_sharded_policy():
     # hot tier really is sharded over the mesh
     shardings = {str(s.device) for s in f.hot.addressable_shards}
     assert len(shardings) == 8
+
+
+def test_feature_access_prob_placement():
+    """Probability-ordered placement: the highest-prob nodes land in the
+    hot tier regardless of degree (reference cache_order semantics)."""
+    rng = np.random.default_rng(8)
+    topo, feat = _graph_and_features(rng, n=200, d=4)
+    prob = rng.random(200)
+    hot_set = np.argsort(-prob)[:50]
+    budget = 50 * feat.itemsize * 4
+    f = Feature(device_cache_size=budget)
+    f.from_cpu_tensor(feat.copy(), access_prob=prob)
+    np.testing.assert_allclose(np.asarray(f[np.arange(200)]), feat,
+                               rtol=1e-6)
+    f2 = Feature(device_cache_size=budget)
+    f2.from_cpu_tensor(feat.copy(), access_prob=prob)
+    _ = f2[hot_set]
+    assert f2.stats["cold_hits"] == 0
