@@ -76,7 +76,8 @@ def main():
         sampler_factory=lambda: NeighborSampler(topo, args.fanout,
                                                 mode="CPU", dedup="none"),
         num_workers=args.cpu_workers)
-    server = InferenceServer(rb.device_queue, hybrid.sampled_queue, infer_fn)
+    server = InferenceServer(rb.device_queue, hybrid.sampled_queue,
+                             infer_fn, coalesce_max_seeds=256)
 
     from quiver_tpu.serving import ServerMetrics
 
