@@ -96,10 +96,15 @@ def main():
               f"{m['throughput_rps']:.1f} req/s, "
               f"{m['seeds_per_s']:.0f} seeds/s")
 
-    wave("warmup (includes per-bucket compiles)", max(args.requests // 4, 8))
+    # two warmup waves: the second compiles the coalesced-bucket shapes
+    wave("warmup 1 (per-bucket compiles)", max(args.requests // 4, 8))
+    wave("warmup 2 (coalesced buckets)", max(args.requests // 2, 16))
     server.metrics = ServerMetrics()
     wave("steady", args.requests)
     rb.stop()
+    import os
+    sys.stdout.flush()
+    os._exit(0)  # skip teardown races between daemon threads and the runtime
 
 
 if __name__ == "__main__":
