@@ -70,7 +70,8 @@ def __getattr__(name):
         from . import comm as _c
         return getattr(_c, name)
     if name in ("models", "serving", "parallel", "feature", "partition",
-                "ops", "comm", "checkpoint", "profiling", "native"):
+                "ops", "comm", "checkpoint", "profiling", "native",
+                "train", "pyg"):
         import importlib
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
