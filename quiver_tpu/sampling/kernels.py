@@ -164,7 +164,9 @@ def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
     gg = jnp.stack([jnp.clip(g, 0, G - 1), jnp.clip(g + 1, 0, G - 1)], 1)
     rows = jnp.take(ind2d, gg.reshape(-1), axis=0).reshape(N, 2 * W)
     rel = s % W
-    nbr = _select_window(rows, rel, k).astype(jnp.int32)
+    # rel < W, so the window lives in columns [0, W+k): narrow before the
+    # per-lane selects to nearly halve their traffic.
+    nbr = _select_window(rows[:, :W + k], rel, k).astype(jnp.int32)
 
     j = jnp.arange(k, dtype=jnp.int32)[None, :]
     mask = (j < jnp.minimum(deg, k)[:, None]) & frontier_valid[:, None]
