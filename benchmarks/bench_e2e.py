@@ -56,7 +56,7 @@ def main():
 
     sampler = NeighborSampler(topo, FANOUT, seed=0)
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
-                      num_layers=3, dropout=0.0)
+                      num_layers=3, dropout=0.0, dtype=jnp.bfloat16)
     tx = optax.adam(1e-3)
 
     b0 = sampler.sample(np.arange(BATCH))

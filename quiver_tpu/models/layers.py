@@ -45,6 +45,7 @@ class SAGEConv(nn.Module):
     aggr: str = "mean"            # mean | sum | max
     root_weight: bool = True
     use_bias: bool = True
+    dtype: object = None          # compute dtype (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(self, x_src, adj):
@@ -78,9 +79,10 @@ class SAGEConv(nn.Module):
             else:
                 raise ValueError(f"unknown aggr {self.aggr!r}")
         out = nn.Dense(self.out_features, use_bias=self.use_bias,
-                       name="lin_l")(agg)
+                       dtype=self.dtype, name="lin_l")(agg)
         if self.root_weight:
             out = out + nn.Dense(self.out_features, use_bias=False,
+                                 dtype=self.dtype,
                                  name="lin_r")(x_src[:dst_cap])
         return out
 

@@ -43,13 +43,15 @@ class GraphSAGE(nn.Module):
     num_layers: int
     dropout: float = 0.5
     aggr: str = "mean"
+    dtype: object = None          # compute dtype (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(self, x, adjs, *, train: bool = False):
         dims = ([self.hidden_features] * (self.num_layers - 1)
                 + [self.out_features])
         for i, (d, adj) in enumerate(zip(dims, adjs)):
-            x = SAGEConv(d, aggr=self.aggr, name=f"conv{i}")(x, adj)
+            x = SAGEConv(d, aggr=self.aggr, dtype=self.dtype,
+                         name=f"conv{i}")(x, adj)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
