@@ -9,6 +9,9 @@ from __future__ import annotations
 
 from .utils import (CSRTopo, parse_size, reindex_by_config,
                     reindex_feature, Topo, init_p2p)
+
+# Reference-compat alias (reference exports `p2pCliqueTopo`, __init__.py:2-11)
+p2pCliqueTopo = Topo
 from .sampling import (
     NeighborSampler,
     SampledBatch,
@@ -38,6 +41,7 @@ __all__ = [
     "reindex_by_config",
     "reindex_feature",
     "Topo",
+    "p2pCliqueTopo",
     "init_p2p",
     "NeighborSampler",
     "SampledBatch",
@@ -66,7 +70,7 @@ def __getattr__(name):
     if name in ("MixedSampler", "SampleJob"):
         from .sampling import mixed as _m
         return getattr(_m, name)
-    if name in ("CommWorld", "getNcclId", "init_distributed"):
+    if name in ("CommWorld", "NcclComm", "getNcclId", "init_distributed"):
         from . import comm as _c
         return getattr(_c, name)
     if name in ("models", "serving", "parallel", "feature", "partition",

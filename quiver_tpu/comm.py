@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["getNcclId", "init_distributed", "CommWorld"]
+__all__ = ["getNcclId", "init_distributed", "CommWorld", "NcclComm"]
 
 
 def getNcclId():
@@ -118,3 +118,7 @@ class CommWorld:
             f, mesh=self.mesh, in_specs=P(ax), out_specs=P(ax),
             check_vma=False))(self._sharded(x_per_device))
         return np.asarray(out)
+
+
+# Migration alias: the reference exports `NcclComm` (comm.py / quiver_comm.cu).
+NcclComm = CommWorld
