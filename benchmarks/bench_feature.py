@@ -49,11 +49,14 @@ def bench(table, cw, label, iters=20):
     for i in range(iters):
         key, sub = jax.random.split(key)
         id_sets.append(draw_ids(sub, cw, n, BATCH_IDS))
-    jax.block_until_ready(id_sets[-1])
-    jax.block_until_ready(gather(table, id_sets[0]))
+    # force-complete the draws AND the warmup gather (incl. its compile)
+    _ = float(jnp.sum(id_sets[-1][:1]))
+    _ = float(jnp.sum(gather(table, id_sets[0])[:1]))
     t0 = time.time()
     outs = [gather(table, ids) for ids in id_sets]
-    jax.block_until_ready(outs)
+    # Forced completion: on the axon tunnel block_until_ready acks
+    # without waiting; a data-dependent scalar fetch cannot.
+    _ = float(jnp.sum(outs[-1][:1]))
     dt = time.time() - t0
     gb = iters * BATCH_IDS * table.shape[1] * table.dtype.itemsize / 1e9
     print(f"{label}: {gb/dt:.2f} GB/s", file=sys.stderr)
