@@ -187,3 +187,21 @@ def test_feature_access_prob_placement():
     f2.from_cpu_tensor(feat.copy(), access_prob=prob)
     _ = f2[hot_set]
     assert f2.stats["cold_hits"] == 0
+
+
+def test_partition_info_replicate_resolves_local():
+    """Replicated ids resolve to the local host with appended local slots
+    (reference PartitionInfo replicate handling, feature.py:461-526)."""
+    V, H = 40, 4
+    g2h = np.arange(V) % H
+    rep = np.array([1, 2, 3])  # ids owned by hosts 1..3, replicated on 0
+    info = PartitionInfo(host=0, hosts=H, global2host=g2h, replicate=rep)
+    ids = np.array([0, 1, 2, 3, 4, 5])
+    by_host, orders = info.dispatch(ids)
+    # 0, 4 owned by host 0; 1,2,3 replicated -> host 0; 5 -> host 1
+    assert sorted(by_host[0].tolist()) == [0, 1, 2, 3, 4]
+    assert by_host[1].tolist() == [5]
+    # replicated rows sit after the host's own rows
+    own = (g2h == 0).sum()
+    assert info.global2local[1] == own + 0
+    assert info.global2local[3] == own + 2

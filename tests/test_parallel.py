@@ -170,3 +170,20 @@ def test_mixed_sampler_covers_job():
     counts = sorted(int(b.seed_count) for b, _ in got)
     # 12 full batches of 16 and one remainder of 8
     assert counts == [8] + [16] * 12
+
+
+@pytest.mark.parametrize("mode", ["TPU_ONLY", "CPU_ONLY"])
+def test_mixed_sampler_single_backend_modes(mode):
+    from quiver_tpu import MixedSampler, SampleJob, CSRTopo
+
+    rng = np.random.default_rng(3)
+    n = 64
+    topo = CSRTopo(edge_index=np.stack([np.repeat(np.arange(n), 3),
+                                        rng.integers(0, n, 3 * n)]),
+                   num_nodes=n)
+    job = SampleJob(np.arange(n), batch_size=16)
+    ms = MixedSampler(topo, [2], job, mode=mode, num_cpu_workers=2)
+    got = list(ms)
+    assert len(got) == 4
+    want = "tpu" if mode == "TPU_ONLY" else "cpu"
+    assert all(src == want for _, src in got)
