@@ -200,3 +200,16 @@ def test_union_reindex_fused_matches_dense():
         ok = np.asarray(a[3])
         np.testing.assert_array_equal(np.asarray(a[2])[ok],
                                       np.asarray(b[2])[ok])
+
+
+def test_gather_rows_pallas_interpret():
+    """Pallas DMA gather matches numpy (interpreter mode on CPU)."""
+    from quiver_tpu.ops import gather_rows_pallas
+
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(64, 128)).astype(np.float32)
+    ids = rng.integers(0, 64, 24)
+    out = np.asarray(gather_rows_pallas(jnp.asarray(table),
+                                        jnp.asarray(ids, jnp.int32),
+                                        rows_per_step=8, interpret=True))
+    np.testing.assert_array_equal(out, table[ids])
