@@ -124,7 +124,13 @@ class Feature:
             self.csr_topo.feature_order = old2new
 
         self.hot_rows = int(hot_rows)
-        hot_np = tensor[:hot_rows]
+        self.hot = self._place_hot(tensor[:hot_rows], D)
+        self.cold = np.ascontiguousarray(tensor[hot_rows:])
+        return self
+
+    def _place_hot(self, hot_np, D):
+        """Device placement of the hot tier: replicated, or row-sharded
+        over the mesh under ``p2p_clique_replicate``."""
         if self.cache_policy == "p2p_clique_replicate" and self.mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = self.mesh.axis_names[0]
@@ -132,20 +138,37 @@ class Feature:
             if pad:
                 hot_np = np.concatenate(
                     [hot_np, np.zeros((pad, D), hot_np.dtype)])
-            self.hot = jax.device_put(
+            return jax.device_put(
                 jnp.asarray(hot_np), NamedSharding(self.mesh, P(axis, None)))
-        else:
-            self.hot = jnp.asarray(hot_np)
-        self.cold = np.ascontiguousarray(tensor[hot_rows:])
-        return self
+        return jnp.asarray(np.asarray(hot_np))
 
     @classmethod
     def from_mmap(cls, path_or_array, device_config=None, **kw) -> "Feature":
-        """Build from a numpy mmap (reference from_mmap feature.py:84-117)."""
+        """Build from a numpy mmap WITHOUT materializing the table in host
+        RAM (reference from_mmap feature.py:84-117 — its reason to exist
+        is features larger than RAM): only the hot prefix is copied to
+        the device; every other row is served straight from the memory
+        map, paging in on access. The on-disk row order is used as the
+        cache order (the reference's preprocess writes features sorted
+        hot-first, benchmarks/ogbn-papers100M/preprocess.py:47-115), so
+        no reorder pass is needed.
+        """
         f = cls(**kw)
         arr = (np.load(path_or_array, mmap_mode="r")
                if isinstance(path_or_array, (str, bytes)) else path_or_array)
-        f.from_cpu_tensor(np.asarray(arr))
+        if isinstance(arr, np.memmap):
+            V, D = arr.shape
+            f.shape = (V, D)
+            f.dtype = arr.dtype
+            budget = parse_size(f.device_cache_size)
+            if f.cache_policy == "p2p_clique_replicate" and f.mesh:
+                budget *= f.mesh.devices.size
+            hot_rows = int(min(V, budget // max(arr.itemsize * D, 1)))
+            f.hot_rows = hot_rows
+            f.hot = f._place_hot(np.asarray(arr[:hot_rows]), D)
+            f.cold = arr[hot_rows:]   # mmap view: the disk tier
+        else:
+            f.from_cpu_tensor(np.asarray(arr))
         return f
 
     def set_mmap_file(self, path, disk_map) -> None:

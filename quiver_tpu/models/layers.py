@@ -61,9 +61,12 @@ class SAGEConv(nn.Module):
             elif self.aggr == "sum":
                 agg = (lanes * mf).sum(1)
             elif self.aggr == "max":
-                neg = jnp.finfo(x_src.dtype).min
-                agg = jnp.where(m, lanes, neg).max(1)
-                agg = jnp.where(jnp.isfinite(agg), agg, 0)
+                # -inf (not finfo.min) as the masked fill so fully-masked
+                # rows (padding, degree-0) are caught by the isfinite
+                # guard and zeroed instead of leaking -3.4e38 downstream.
+                agg = jnp.where(m, lanes, -jnp.inf).max(1)
+                agg = jnp.where(jnp.isfinite(agg), agg,
+                                jnp.zeros((), x_src.dtype))
             else:
                 raise ValueError(f"unknown aggr {self.aggr!r}")
         else:

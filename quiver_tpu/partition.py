@@ -29,25 +29,39 @@ __all__ = [
 ]
 
 
-def select_nodes(probs: Sequence[np.ndarray]):
+def _strip_device_arg(first, *rest):
+    """The reference's signatures carry a leading ``device`` rank
+    (partition.py:16,83); accept and ignore it so migrated call sites
+    like ``partition_without_replication(device, probs, ids)`` work."""
+    if first is None or isinstance(first, (int, np.integer, str)):
+        return rest
+    return (first,) + rest
+
+
+def select_nodes(probs, ids_or_none=None):
     """Union of nodes any host accesses with nonzero probability
-    (reference select_nodes partition.py:83-92)."""
+    (reference select_nodes partition.py:83-92). A leading device
+    argument (reference signature) is accepted and ignored."""
+    args = _strip_device_arg(probs, ids_or_none)
+    probs = args[0]
     total = np.zeros_like(np.asarray(probs[0]))
     for p in probs:
         total = total + np.asarray(p)
     return np.nonzero(total > 0)[0]
 
 
-def partition_without_replication(probs: Sequence[np.ndarray],
-                                  ids: Optional[np.ndarray] = None
-                                  ) -> List[np.ndarray]:
+def partition_without_replication(probs, ids: Optional[np.ndarray] = None,
+                                  _maybe_ids=None) -> List[np.ndarray]:
     """Chunked greedy partition of ``ids`` over ``len(probs)`` hosts.
 
     Per chunk of 256 ids (sorted by total access probability, densest
     first — reference partition.py:16-80), each host scores
     ``own_prob - sum(other_probs)``; the host with the highest score that
     is not over-filled takes the chunk. Returns per-host id arrays.
+    A leading device argument (reference signature partition.py:16) is
+    accepted and ignored.
     """
+    probs, ids = (_strip_device_arg(probs, ids, _maybe_ids) + (None,))[:2]
     probs = [np.asarray(p, np.float64) for p in probs]
     H = len(probs)
     if ids is None:

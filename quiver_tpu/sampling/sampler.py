@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.unique import union_reindex_fused, SENTINEL
+from ..ops.unique import union_reindex_fused, union_reindex_dense, SENTINEL
 from .kernels import (
     sample_adjacency,
     sample_adjacency_window,
@@ -134,7 +134,7 @@ def _layer_capacities(batch_size: int, sizes: Sequence[int],
     jax.jit,
     static_argnames=("sizes", "batch_size", "weighted", "window"),
 )
-def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
+def _sample_layers_dense(indptr, indices, edge_table, seeds, seed_count, key, *,
                          sizes, batch_size, weighted, window=False):
     """Jitted multi-layer sampling with NO dedup (the TPU-native fast path).
 
@@ -155,7 +155,7 @@ def _sample_layers_dense(indptr, indices, row_cdf, seeds, seed_count, key, *,
         key, sub = jax.random.split(key)
         if weighted:
             nbr, mask, slot = weighted_sample_alias(
-                indptr, indices, row_cdf, frontier, f_valid, k, sub)
+                indptr, indices, edge_table, frontier, f_valid, k, sub)
         elif window:
             meta, ind2d = indices
             nbr, mask, slot = sample_adjacency_window(
@@ -199,11 +199,18 @@ def _sample_layers_packed(packed2d, seed_meta, seeds, seed_count, key, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sizes", "caps", "batch_size", "weighted"),
+    static_argnames=("sizes", "caps", "batch_size", "weighted", "window",
+                     "reindex", "num_nodes"),
 )
-def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
-                   sizes, caps, batch_size, weighted):
-    """Jitted multi-layer sample + union/reindex. All shapes static."""
+def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
+                   sizes, caps, batch_size, weighted, window=False,
+                   reindex=None, num_nodes=0):
+    """Jitted multi-layer sample + union/reindex. All shapes static.
+
+    ``reindex``: per-layer tuple of "sort" (3-sort fused compaction) or
+    "dense" (O(V) scatter table, ops/unique.py union_reindex_dense —
+    needs ``num_nodes``); None means "sort" everywhere.
+    """
     frontier = jnp.full((batch_size,), SENTINEL, jnp.int32)
     frontier = jax.lax.dynamic_update_slice(frontier, seeds.astype(jnp.int32), (0,))
     f_count = seed_count.astype(jnp.int32)
@@ -215,14 +222,23 @@ def _sample_layers(indptr, indices, row_cdf, seeds, seed_count, key, *,
         f_valid = jnp.arange(f_cap, dtype=jnp.int32) < f_count
         if weighted:
             nbr, mask, slot = weighted_sample_alias(
-                indptr, indices, row_cdf, frontier, f_valid, k, sub)
+                indptr, indices, edge_table, frontier, f_valid, k, sub)
+        elif window:
+            meta, ind2d = indices
+            nbr, mask, slot = sample_adjacency_window(
+                meta, ind2d, frontier, f_valid, k, sub)
         else:
             nbr, mask, slot = sample_adjacency(
                 indptr, indices, frontier, f_valid, k, sub)
 
         cap = caps[li]
-        out_ids, out_count, cand_local, cand_ok = union_reindex_fused(
-            frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap)
+        if reindex is not None and reindex[li] == "dense":
+            out_ids, out_count, cand_local, cand_ok = union_reindex_dense(
+                frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap,
+                num_nodes)
+        else:
+            out_ids, out_count, cand_local, cand_ok = union_reindex_fused(
+                frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap)
 
         # Edges: target local id = frontier slot (base ids keep 0..F-1),
         # source local id = candidate's assigned local id.
@@ -259,28 +275,40 @@ class NeighborSampler:
     def __init__(self, csr_topo, sizes: Sequence[int], device=None,
                  mode: str = "TPU", capacities: Optional[Sequence[int]] = None,
                  weighted: bool = False, seed: int = 0,
-                 dedup: str = "none", sampling: str = "window"):
+                 dedup: str = "none", sampling: Optional[str] = None,
+                 reindex: str = "auto"):
         mode = mode.upper()
         if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
             raise ValueError(f"unknown mode {mode!r}")
         if dedup not in ("none", "per_hop"):
             raise ValueError(f"dedup must be 'none' or 'per_hop', got {dedup!r}")
+        if sampling is None:
+            # default: window (fast, uniform-over-shuffles marginals) for
+            # the dense pipeline; exact uniform k-subsets for the
+            # reference-contract per-hop-dedup pipeline.
+            sampling = "window" if dedup == "none" else "exact"
         if sampling not in ("window", "exact", "packed"):
             raise ValueError("sampling must be 'window', 'exact' or "
                              f"'packed', got {sampling!r}")
+        if reindex not in ("auto", "sort", "dense"):
+            raise ValueError("reindex must be 'auto', 'sort' or 'dense', "
+                             f"got {reindex!r}")
         # GPU/UVA accepted as aliases for migration friendliness.
         self.mode = "CPU" if mode == "CPU" else "TPU"
         self.dedup = dedup
+        self.reindex = reindex
         self.csr_topo = csr_topo
         self.sizes = tuple(int(s) for s in sizes)
         self.capacities = None if capacities is None else tuple(capacities)
         self.weighted = bool(weighted)
-        # window sampling needs shuffled rows + dense pipeline; it falls
-        # back to exact for weighted / per-hop-dedup paths.
-        # window/packed need shuffled rows + the dense pipeline; they
-        # fall back to exact for weighted / per-hop-dedup paths.
-        if weighted or dedup != "none":
+        # window/packed sampling needs pre-shuffled rows; weighted
+        # sampling draws by edge weight so a contiguous window would bias
+        # it -> exact. The packed triple layout carries positional state
+        # incompatible with the per-hop reindex -> plain window there.
+        if weighted:
             sampling = "exact"
+        elif dedup == "per_hop" and sampling == "packed":
+            sampling = "window"
         self.sampling = sampling
         self.device = device
         self._key = jax.random.PRNGKey(seed)
@@ -317,12 +345,13 @@ class NeighborSampler:
             else:
                 self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
             if self.weighted:
-                # packed per-row alias tables (prob bits | alias pos)
+                # packed per-row alias tables (prob bits | alias pos);
+                # see weighted_sample_alias (kernels.py)
                 packed = build_alias_table(csr_topo.indptr,
                                            csr_topo.edge_weight)
-                self.row_cdf = put(jnp.asarray(packed))
+                self.edge_table = put(jnp.asarray(packed))
             else:
-                self.row_cdf = put(jnp.zeros((1, 2), jnp.int32))
+                self.edge_table = put(jnp.zeros((1, 2), jnp.int32))
         else:
             from . import cpu_ref
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
@@ -381,6 +410,26 @@ class NeighborSampler:
             b *= 2
         return b
 
+    def _reindex_plan(self, batch_size: int, caps) -> Tuple[str, ...]:
+        """Per-layer compaction strategy for the per-hop-dedup path.
+
+        "auto": the O(V) dense table (union_reindex_dense) when the hop's
+        candidate count T is a sizable fraction of V — its ~6 V-length
+        streaming passes then beat the 3 O(T log T) sorts of the fused
+        path (measured on v5e: dense wins from roughly T >= V/32); tiny
+        hops keep the sort path so small graphs/batches pay nothing.
+        """
+        if self.reindex != "auto":
+            return tuple(self.reindex for _ in self.sizes)
+        V = self.csr_topo.node_count
+        plan = []
+        f_cap = batch_size
+        for li, k in enumerate(self.sizes):
+            T = f_cap * (1 + k)
+            plan.append("dense" if T >= max(V // 32, 1) else "sort")
+            f_cap = caps[li]
+        return tuple(plan)
+
     def sample(self, seeds) -> SampledBatch:
         """Sample the k-hop neighborhood of ``seeds``.
 
@@ -406,7 +455,7 @@ class NeighborSampler:
                     sub, sizes=self.sizes, batch_size=bs)
             else:
                 frontier, f_valid, layer_outs = _sample_layers_dense(
-                    self.indptr, self.indices, self.row_cdf,
+                    self.indptr, self.indices, self.edge_table,
                     jnp.asarray(pad), jnp.int32(n), sub,
                     sizes=self.sizes, batch_size=bs, weighted=self.weighted,
                     window=self.sampling == "window")
@@ -427,10 +476,12 @@ class NeighborSampler:
                                 adjs=tuple(reversed(blocks)))
 
         frontier, f_count, layer_outs = _sample_layers(
-            self.indptr, self.indices, self.row_cdf,
+            self.indptr, self.indices, self.edge_table,
             jnp.asarray(pad), jnp.int32(n), sub,
             sizes=self.sizes, caps=caps, batch_size=bs,
-            weighted=self.weighted)
+            weighted=self.weighted, window=self.sampling == "window",
+            reindex=self._reindex_plan(bs, caps),
+            num_nodes=self.csr_topo.node_count)
 
         adjs = []
         f_cap = bs
@@ -441,6 +492,12 @@ class NeighborSampler:
         return SampledBatch(n_id=frontier, n_count=f_count,
                             batch_size=bs, seed_count=jnp.int32(n),
                             adjs=tuple(reversed(adjs)))
+
+    @property
+    def row_cdf(self):
+        """Deprecated round-1 name for :attr:`edge_table` (which holds the
+        packed alias table, not a CDF)."""
+        return self.edge_table
 
     # -- IPC parity shims (reference sage_sampler.py:159-178): one process
     # drives all local chips on TPU, so handles are just self.

@@ -186,7 +186,11 @@ class InferenceServer:
         while True:
             item = None
             try:
-                item = self.device_queue.get_nowait()
+                if self.sampled_queue is None:
+                    # no fallback queue to poll: block instead of spinning
+                    item = self.device_queue.get(timeout=0.05)
+                else:
+                    item = self.device_queue.get_nowait()
             except queue.Empty:
                 pass
             if item is None and self.sampled_queue is not None:

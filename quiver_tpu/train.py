@@ -54,10 +54,10 @@ def make_sampled_train_step(model, tx, sampler: NeighborSampler,
     V = features.shape[0]
 
     @functools.partial(jax.jit, static_argnames=("batch_size",))
-    def step(params, opt_state, indptr, indices, row_cdf, features, labels,
+    def step(params, opt_state, indptr, indices, edge_table, features, labels,
              seeds, key, *, batch_size):
         frontier, f_valid, layer_outs = _sample_layers_dense(
-            indptr, indices, row_cdf, seeds, jnp.int32(batch_size), key,
+            indptr, indices, edge_table, seeds, jnp.int32(batch_size), key,
             sizes=sizes, batch_size=batch_size,
             weighted=sampler.weighted, window=window)
         blocks = []
@@ -86,7 +86,7 @@ def make_sampled_train_step(model, tx, sampler: NeighborSampler,
     def run(params, opt_state, seeds, key):
         seeds = jnp.asarray(np.asarray(seeds), jnp.int32)
         return step(params, opt_state, sampler.indptr, sampler.indices,
-                    sampler.row_cdf, features, labels, seeds, key,
+                    sampler.edge_table, features, labels, seeds, key,
                     batch_size=int(seeds.shape[0]))
 
     return run
@@ -117,9 +117,9 @@ def make_pipelined_train_step(model, tx, sampler: NeighborSampler,
     window = sampler.sampling == "window"
     V = features.shape[0]
 
-    def _sample(indptr, indices, row_cdf, seeds, key, batch_size):
+    def _sample(indptr, indices, edge_table, seeds, key, batch_size):
         frontier, f_valid, layer_outs = _sample_layers_dense(
-            indptr, indices, row_cdf, seeds, jnp.int32(batch_size), key,
+            indptr, indices, edge_table, seeds, jnp.int32(batch_size), key,
             sizes=sizes, batch_size=batch_size,
             weighted=sampler.weighted, window=window)
         return dict(frontier=frontier, seeds=seeds,
@@ -139,11 +139,11 @@ def make_pipelined_train_step(model, tx, sampler: NeighborSampler,
         return tuple(reversed(blocks))
 
     @functools.partial(jax.jit, static_argnames=("batch_size",))
-    def prime_fn(indptr, indices, row_cdf, seeds, key, *, batch_size):
-        return _sample(indptr, indices, row_cdf, seeds, key, batch_size)
+    def prime_fn(indptr, indices, edge_table, seeds, key, *, batch_size):
+        return _sample(indptr, indices, edge_table, seeds, key, batch_size)
 
     @functools.partial(jax.jit, static_argnames=("batch_size",))
-    def step_fn(params, opt_state, indptr, indices, row_cdf, features,
+    def step_fn(params, opt_state, indptr, indices, edge_table, features,
                 labels, carry, next_seeds, key, *, batch_size):
         # train on the carried batch ...
         adjs = _blocks(carry, batch_size)
@@ -158,19 +158,19 @@ def make_pipelined_train_step(model, tx, sampler: NeighborSampler,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # ... while sampling the next one (independent -> overlapped)
-        new_carry = _sample(indptr, indices, row_cdf, next_seeds, key,
+        new_carry = _sample(indptr, indices, edge_table, next_seeds, key,
                             batch_size)
         return params, opt_state, loss, new_carry
 
     def prime(seeds, key):
         seeds = jnp.asarray(np.asarray(seeds), jnp.int32)
-        return prime_fn(sampler.indptr, sampler.indices, sampler.row_cdf,
+        return prime_fn(sampler.indptr, sampler.indices, sampler.edge_table,
                         seeds, key, batch_size=int(seeds.shape[0]))
 
     def step(params, opt_state, carry, next_seeds, key):
         next_seeds = jnp.asarray(np.asarray(next_seeds), jnp.int32)
         return step_fn(params, opt_state, sampler.indptr, sampler.indices,
-                       sampler.row_cdf, features, labels, carry, next_seeds,
+                       sampler.edge_table, features, labels, carry, next_seeds,
                        key, batch_size=int(next_seeds.shape[0]))
 
     return prime, step

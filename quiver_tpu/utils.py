@@ -44,6 +44,9 @@ def parse_size(size) -> int:
         return int(size)
     if isinstance(size, str):
         s = size.strip().upper()
+        # two-letter suffixes too ("8GB" == "8G"), like the reference
+        if len(s) >= 2 and s[-1] == "B" and s[-2] in _SIZE_SUFFIX:
+            s = s[:-1]
         if s and s[-1] in _SIZE_SUFFIX:
             return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
         return int(float(s))

@@ -205,3 +205,20 @@ def test_partition_info_replicate_resolves_local():
     own = (g2h == 0).sum()
     assert info.global2local[1] == own + 0
     assert info.global2local[3] == own + 2
+
+
+def test_from_mmap_keeps_disk_tier(tmp_path):
+    """from_mmap must NOT materialize the table in RAM: the cold tier
+    stays a memmap view and lookups read through it (ADVICE r1)."""
+    import numpy as np
+    from quiver_tpu import Feature
+
+    V, D = 64, 8
+    arr = np.arange(V * D, dtype=np.float32).reshape(V, D)
+    path = tmp_path / "feat.npy"
+    np.save(path, arr)
+    f = Feature.from_mmap(str(path), device_cache_size=16 * D * 4)
+    assert f.hot_rows == 16
+    assert isinstance(f.cold, np.memmap)
+    ids = np.array([0, 3, 15, 16, 40, 63])
+    np.testing.assert_array_equal(np.asarray(f[ids]), arr[ids])

@@ -400,3 +400,40 @@ def test_packed_uniform_marginals_over_shuffles():
             np.add.at(counts, n_id[F:F + k][m[:k]], 1)
     freq = counts[1:] / (n_shuffles * trials)
     np.testing.assert_allclose(freq, k / deg, atol=0.07)
+
+
+def test_weighted_cdf_matches_alias_distribution():
+    """The inverse-CDF path (``weighted_sample_adjacency``, the direct
+    parity impl of reference weight_sample cuda_random.cu.hpp:179-221)
+    draws from the same per-row distribution as the production alias
+    path — both must match the normalized edge weights."""
+    from quiver_tpu.sampling.kernels import (
+        weighted_sample_adjacency, weighted_sample_alias,
+        build_row_cdf, build_alias_table)
+
+    deg = 6
+    row = np.full(deg, 0)
+    col = np.arange(1, deg + 1)
+    w = np.array([1.0, 4.0, 2.0, 8.0, 0.5, 2.5], np.float32)
+    topo = CSRTopo(edge_index=np.stack([row, col]), edge_weight=w,
+                   num_nodes=deg + 1)
+    indptr = jnp.asarray(topo.indptr, jnp.int32)
+    indices = jnp.asarray(topo.indices, jnp.int32)
+    cdf = jnp.asarray(build_row_cdf(topo.indptr, topo.edge_weight))
+    alias = jnp.asarray(build_alias_table(topo.indptr, topo.edge_weight))
+    n, k = 256, 4
+    frontier = jnp.zeros((n,), jnp.int32)
+    valid = jnp.ones((n,), bool)
+
+    counts = {"cdf": np.zeros(deg + 1), "alias": np.zeros(deg + 1)}
+    for t in range(20):
+        key = jax.random.PRNGKey(t)
+        for name, fn, table in (("cdf", weighted_sample_adjacency, cdf),
+                                ("alias", weighted_sample_alias, alias)):
+            nbr, mask, _ = fn(indptr, indices, table, frontier, valid, k, key)
+            np.add.at(counts[name], np.asarray(nbr)[np.asarray(mask)], 1)
+
+    expect = w / w.sum()
+    for name in counts:
+        freq = counts[name][1:] / counts[name].sum()
+        np.testing.assert_allclose(freq, expect, atol=0.02, err_msg=name)

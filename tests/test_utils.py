@@ -79,3 +79,25 @@ def test_public_api_surface():
         assert getattr(qt, lazy) is not None
     from quiver_tpu.pyg import GraphSageSampler, MixedGraphSageSampler
     assert GraphSageSampler is qt.NeighborSampler
+
+
+def test_parse_size_two_letter_suffix():
+    """Reference parse_size accepts "KB"/"MB"/"GB" too (ADVICE r1)."""
+    from quiver_tpu import parse_size
+    assert parse_size("8GB") == 8 << 30
+    assert parse_size("200MB") == 200 << 20
+    assert parse_size("1.5KB") == int(1.5 * 1024)
+
+
+def test_partition_accepts_leading_device_arg():
+    """Reference signature partition_without_replication(device, probs,
+    ids) must keep working for migrated call sites (ADVICE r1)."""
+    import numpy as np
+    from quiver_tpu.partition import (partition_without_replication,
+                                      select_nodes)
+    probs = [np.array([0.9, 0.0, 0.1, 0.5]), np.array([0.0, 0.8, 0.4, 0.1])]
+    with_dev = partition_without_replication(0, probs)
+    without = partition_without_replication(probs)
+    for a, b in zip(with_dev, without):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(select_nodes(0, probs), select_nodes(probs))
