@@ -49,6 +49,20 @@ def _gather_hot(hot, ids, hot_rows):
     return jnp.where(in_hot[:, None], rows, 0), in_hot
 
 
+@jax.jit
+def _take_clipped(hot, pos):
+    """Device hot-tier gather; out-of-tier rows clamp to row 0 and are
+    overwritten by the cold scatter."""
+    return jnp.take(hot, pos, axis=0, mode="clip")
+
+
+@jax.jit
+def _scatter_cold(out, cold_pos, cold_vals):
+    """Overwrite miss rows with host-gathered values (padded lanes carry
+    an out-of-range position and are dropped)."""
+    return out.at[cold_pos].set(cold_vals.astype(out.dtype), mode="drop")
+
+
 class Feature:
     """User-facing feature cache (reference Feature, feature.py:17).
 
@@ -187,49 +201,82 @@ class Feature:
         self.feature_order = o2n
 
     # -- lookup -----------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        return 1 << (n - 1).bit_length() if n > 1 else 1
+
     def __getitem__(self, n_id):
         """Gather rows by *global* node id: hot tier on device, cold tier
-        from host, optional disk tier from mmap (reference __getitem__
-        feature.py:296-333)."""
+        from host RAM, optional disk tier from mmap (reference
+        __getitem__ feature.py:296-333 / the single multi-tier kernel
+        shard_tensor.cu.hpp:19-61).
+
+        Device-resident flow — the result never round-trips through the
+        host: the hot gather is dispatched first (the TPU works on it
+        asynchronously), the threaded native cold/disk gather runs on the
+        host meanwhile, and one scatter overwrites the miss rows on
+        device. Host->device traffic is the miss rows only.
+        """
         ids = np.asarray(n_id).astype(np.int64)
         m = ids.shape[0]
         self.stats["lookups"] += m
 
-        disk_rows = None
+        pos = ids if self.feature_order is None else self.feature_order[ids]
+        pos = np.clip(pos, 0, self.shape[0] - 1)
+
+        on_disk = None
         if self.disk_map is not None:
             dpos = self.disk_map[ids]
             on_disk = dpos >= 0
-            if on_disk.any():
-                self.stats["disk_hits"] += int(on_disk.sum())
-                disk_rows = (on_disk,
-                             np.asarray(self.mmap_array[dpos[on_disk]]))
+            if not on_disk.any():
+                on_disk = None
 
-        pos = ids if self.feature_order is None else self.feature_order[ids]
-        pos = np.clip(pos, 0, self.shape[0] - 1)
-        if self.hot_rows > 0:
-            hot_part, in_hot = _gather_hot(self.hot, jnp.asarray(pos),
-                                           self.hot_rows)
-            in_hot_np = np.asarray(in_hot)
-        else:
-            hot_part = jnp.zeros((m, self.shape[1]), self.dtype)
-            in_hot_np = np.zeros(m, bool)
-        n_cold = m - int(in_hot_np.sum())
+        in_hot = pos < self.hot_rows
+        if on_disk is not None:
+            in_hot &= ~on_disk
+        n_cold = m - int(in_hot.sum())
         self.stats["hot_hits"] += m - n_cold
         self.stats["cold_hits"] += n_cold
-        if n_cold:
-            from . import native
-            cold_idx = np.clip(pos[~in_hot_np] - self.hot_rows, 0,
-                               max(len(self.cold) - 1, 0))
-            cold_vals = native.gather_rows(self.cold, cold_idx)
-            out = np.array(hot_part)  # writable host copy
-            out[~in_hot_np] = cold_vals
+
+        # 1) dispatch the device hot gather (async under dispatch)
+        if self.hot_rows > 0:
+            out = _take_clipped(self.hot, jnp.asarray(
+                np.minimum(pos, self.hot_rows - 1).astype(np.int32)))
         else:
-            out = np.asarray(hot_part) if disk_rows is not None else hot_part
-        if disk_rows is not None:
-            on_disk, vals = disk_rows
-            out = np.array(out)  # writable host copy
-            out[on_disk] = vals
-        return jnp.asarray(out)
+            out = jnp.zeros((m, self.shape[1]), self.dtype)
+
+        if n_cold == 0:
+            return out
+
+        # 2) host gathers the misses while the device works
+        from . import native
+        miss = ~in_hot
+        miss_pos = np.nonzero(miss)[0]
+        if on_disk is not None:
+            disk_sel = on_disk[miss]
+            cold_vals = np.empty((n_cold, self.shape[1]), self.dtype)
+            if (~disk_sel).any():
+                cidx = np.clip(pos[miss][~disk_sel] - self.hot_rows, 0,
+                               max(len(self.cold) - 1, 0))
+                cold_vals[~disk_sel] = native.gather_rows(self.cold, cidx)
+            didx = self.disk_map[ids[miss][disk_sel]]
+            self.stats["disk_hits"] += int(disk_sel.sum())
+            self.stats["cold_hits"] -= int(disk_sel.sum())
+            cold_vals[disk_sel] = native.gather_rows(self.mmap_array, didx)
+        else:
+            cidx = np.clip(pos[miss] - self.hot_rows, 0,
+                           max(len(self.cold) - 1, 0))
+            cold_vals = native.gather_rows(self.cold, cidx)
+
+        # 3) pad the miss set to a bucketed width (bounded recompiles)
+        # and scatter onto the device result; padded lanes target row m
+        # -> dropped.
+        cap = self._bucket(n_cold)
+        pad_pos = np.full(cap, m, np.int32)
+        pad_pos[:n_cold] = miss_pos
+        pad_vals = np.zeros((cap,) + cold_vals.shape[1:], cold_vals.dtype)
+        pad_vals[:n_cold] = cold_vals
+        return _scatter_cold(out, jnp.asarray(pad_pos), jnp.asarray(pad_vals))
 
     def cache_hit_rate(self) -> float:
         lk = max(self.stats["lookups"], 1)
@@ -300,12 +347,19 @@ class DistFeature:
 
     Replaces the reference's NcclComm size-matrix allreduce + greedy
     pairwise schedule + send/recv loops (comm.py:42-182,
-    feature.py:529-567) with ONE ragged-padded ``all_to_all`` pair inside
-    ``shard_map`` — the collective subsumes the whole HostRankTable /
-    schedule machinery and rides ICI/DCN as laid out by the mesh.
+    feature.py:529-567) with ONE ``all_to_all`` pair inside one
+    ``shard_map``: requests out, answers back. The collective subsumes
+    the whole HostRankTable / schedule machinery and rides ICI/DCN as
+    laid out by the mesh, and — like the reference's concurrent
+    exchange — every host resolves its own distinct request set
+    simultaneously; received bytes per host ≈ its requested rows (padded
+    to the max pairwise count), not H× them.
 
     In this single-process form, each mesh device plays the role of one
-    host; ``local_tables`` is the per-device shard stack [hosts, rows, D].
+    host; ``local_tables`` is the per-device shard stack [hosts, rows, D]
+    (pad shards to a common row count; under ``replicate`` layouts each
+    host's replicated rows are appended to its own shard, reference
+    feature.py:461-508).
     """
 
     def __init__(self, mesh, local_tables, info: PartitionInfo):
@@ -317,44 +371,86 @@ class DistFeature:
         self.tables = jax.device_put(
             jnp.asarray(local_tables),
             NamedSharding(mesh, P(self.axis, None, None)))
+        self._exchange_fn = None
 
-    def __getitem__(self, ids):
+    def _build_exchange(self):
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
-        ids = np.asarray(ids)
-        m = ids.shape[0]
+        axis = self.axis
+
+        def body(tables, req):
+            # tables: [1, rows, D] this host's shard; req: [1, H, cap]
+            # local row ids this host wants from each destination.
+            mine, my_req = tables[0], req[0]
+            # requests out: row d of `sent` = what host d wants from ME
+            sent = jax.lax.all_to_all(my_req, axis, 0, 0, tiled=True)
+            rows = jnp.take(mine, sent.reshape(-1), axis=0, mode="clip")
+            rows = rows.reshape(sent.shape[0], sent.shape[1], -1)
+            # answers back: row d = MY rows answered by host d
+            ans = jax.lax.all_to_all(rows, axis, 0, 0, tiled=True)
+            return ans[None]
+
+        return jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(axis, None, None)),
+            out_specs=P(axis, None, None, None), check_vma=False))
+
+    def exchange(self, ids_per_host, infos=None):
+        """Concurrent gather: host h resolves ``ids_per_host[h]`` (its own
+        global-id request set), all hosts at once (the reference's
+        NcclComm.exchange contract, comm.py:127-182).
+
+        Args:
+          ids_per_host: list of H 1-D global-id arrays (distinct per host).
+          infos: optional per-host ``PartitionInfo`` list — required when
+            hosts carry replicate sets (each host's own info maps its
+            replicated ids to its local shard); defaults to owner dispatch
+            through ``self.info.global2host``.
+
+        Returns: list of H ``[len(ids_per_host[h]), D]`` arrays.
+        """
         H = self.info.hosts
-        ids_by_host, orders = self.info.dispatch(ids)
-        cap = max((len(x) for x in ids_by_host), default=1)
-        cap = max(cap, 1)
-        # pad per-host request lists to a common static width
-        req = np.zeros((H, cap), np.int64)
-        cnt = np.zeros((H,), np.int32)
+        assert len(ids_per_host) == H, (len(ids_per_host), H)
+        sel_by = []           # per (h, dest): positions in host h's ids
+        cap = 1
         for h in range(H):
-            k = len(ids_by_host[h])
-            req[h, :k] = self.info.global2local[ids_by_host[h]]
-            cnt[h] = k
+            info_h = infos[h] if infos is not None else self.info
+            ids = np.asarray(ids_per_host[h])
+            owner = info_h.owner[ids] if ids.size else np.empty(0, np.int64)
+            sels = [np.where(owner == d)[0] for d in range(H)]
+            sel_by.append(sels)
+            cap = max(cap, max((len(s) for s in sels), default=1))
+        # bucket the pairwise width to a power of two: bounded recompiles
+        cap = 1 << (cap - 1).bit_length() if cap > 1 else 1
 
-        # every "host" (mesh device) issues the same request matrix here
-        # because this handle represents one logical requester; replicate
-        # and let each device answer its slice.
-        def exchange(tables, req):
-            # tables: [1, rows, D] this device's shard; req: [H, cap]
-            mine = tables[0]
-            rows = jnp.take(mine, req[jax.lax.axis_index(self.axis)], axis=0)
-            # all_gather the answers so the requester can assemble
-            return jax.lax.all_gather(rows, self.axis)  # [H, cap, D]
-
-        out_shape = jax.eval_shape(lambda t: t[0][:1], self.tables)
-        gathered = jax.jit(shard_map(
-            exchange, mesh=self.mesh,
-            in_specs=(P(self.axis, None, None), P()),
-            out_specs=P(), check_vma=False))(self.tables, jnp.asarray(req))
-
-        D = gathered.shape[-1]
-        out = np.zeros((m, D), gathered.dtype)
-        g = np.asarray(gathered)
+        req = np.zeros((H, H, cap), np.int64)
         for h in range(H):
-            out[orders[h]] = g[h, :cnt[h]]
-        return jnp.asarray(out)
+            info_h = infos[h] if infos is not None else self.info
+            ids = np.asarray(ids_per_host[h])
+            for d in range(H):
+                sel = sel_by[h][d]
+                req[h, d, :len(sel)] = info_h.global2local[ids[sel]]
+
+        if self._exchange_fn is None:
+            self._exchange_fn = self._build_exchange()
+        ans = np.asarray(self._exchange_fn(self.tables, jnp.asarray(req)))
+
+        D = ans.shape[-1]
+        outs = []
+        for h in range(H):
+            m = len(np.asarray(ids_per_host[h]))
+            out = np.zeros((m, D), ans.dtype)
+            for d in range(H):
+                sel = sel_by[h][d]
+                out[sel] = ans[h, d, :len(sel)]
+            outs.append(jnp.asarray(out))
+        return outs
+
+    def __getitem__(self, ids):
+        """Single-requester lookup (this host's ids; the other hosts ride
+        the same collective with empty request slots)."""
+        h = self.info.host
+        per_host = [np.empty(0, np.int64)] * self.info.hosts
+        per_host[h] = np.asarray(ids)
+        return self.exchange(per_host)[h]

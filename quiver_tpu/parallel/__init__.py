@@ -5,7 +5,7 @@ from .data_parallel import (
     make_dp_train_step,
     unstack_device,
 )
-from .dist_sampler import DistNeighborSampler
+from .dist_sampler import DistNeighborSampler, build_graph_shards
 
 __all__ = [
     "stack_batches",
@@ -14,4 +14,5 @@ __all__ = [
     "make_dp_train_step",
     "unstack_device",
     "DistNeighborSampler",
+    "build_graph_shards",
 ]

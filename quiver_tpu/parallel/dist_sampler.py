@@ -109,52 +109,143 @@ def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int):
         check_vma=False))
 
 
+def build_graph_shards(out_dir: str, global2host, edges, num_nodes=None,
+                       chunked: bool = True):
+    """Offline shard builder: stream the COO once, write per-host CSR
+    artifacts — the preprocessing that lets a graph no single host can
+    hold train via :meth:`DistNeighborSampler.from_shards` (replacing
+    the reference's UVA full-CSR-in-pinned-RAM story,
+    quiver.cu.hpp:16-26,206-215; artifact layout in the spirit of the
+    papers100M prep flow, benchmarks/ogbn-papers100M/preprocess.py:118-211).
+
+    Args:
+      out_dir: artifact directory, created if needed. Writes
+        ``global2host.npy`` plus per host h ``shard_{h}_indptr.npy``
+        (local CSR over h's own rows, ascending global id),
+        ``shard_{h}_indices.npy`` (GLOBAL neighbor ids) and
+        ``shard_{h}_own.npy`` (sorted global ids owned by h).
+      global2host: [V] owner host per node (partitioner output).
+      edges: iterable of ``(row_chunk, col_chunk)`` global-id array
+        pairs — e.g. chunks read straight from an edge file. The full
+        edge list is never materialized; peak memory is one host's COO.
+      num_nodes: optional V (defaults to len(global2host)).
+    """
+    import os
+
+    g2h = np.asarray(global2host, np.int64)
+    H = int(g2h.max()) + 1 if g2h.size else 1
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "global2host.npy"), g2h)
+
+    # pass 1: split edge chunks to per-owner spill files (interleaved
+    # [row, col] int64 pairs, appended)
+    spill = [open(os.path.join(out_dir, f"_coo_{h}.bin"), "wb")
+             for h in range(H)]
+    try:
+        for row, col in edges:
+            row = np.asarray(row, np.int64)
+            col = np.asarray(col, np.int64)
+            own = g2h[row]
+            for h in range(H):
+                sel = own == h
+                if sel.any():
+                    np.stack([row[sel], col[sel]], axis=1).tofile(spill[h])
+    finally:
+        for f in spill:
+            f.close()
+
+    # pass 2: per host, local CSR (bounded by that host's edge count)
+    from ..utils import _coo_to_csr
+    for h in range(H):
+        path = os.path.join(out_dir, f"_coo_{h}.bin")
+        pairs = np.fromfile(path, np.int64).reshape(-1, 2)
+        os.remove(path)
+        own_ids = np.where(g2h == h)[0]
+        local_row = np.searchsorted(own_ids, pairs[:, 0])
+        indptr, indices, _ = _coo_to_csr(local_row, pairs[:, 1],
+                                         num_nodes=len(own_ids))
+        np.save(os.path.join(out_dir, f"shard_{h}_indptr.npy"), indptr)
+        np.save(os.path.join(out_dir, f"shard_{h}_indices.npy"),
+                indices.astype(np.int32))
+        np.save(os.path.join(out_dir, f"shard_{h}_own.npy"), own_ids)
+    return out_dir
+
+
 class DistNeighborSampler:
     """Layered sampler over a node-partitioned CSR across a mesh.
 
     Args:
       mesh: 1-D device mesh; device d plays logical host d.
-      csr_topo: the FULL host-resident topology (used once to build
-        shards; at real papers100M scale build shards per host offline
-        with the same layout and pass via ``from_shards``).
+      csr_topo: the FULL host-resident topology (convenience path for
+        graphs that fit one host; at papers100M scale build per-host
+        artifacts once with :func:`build_graph_shards` and construct via
+        ``from_shards`` — no host ever materializes the full CSR).
       global2host: [V] owner host of each node (partitioner output).
       sizes: per-layer fanouts.
     """
 
     def __init__(self, mesh: Mesh, csr_topo, global2host, sizes: Sequence[int],
                  seed: int = 0):
+        g2h = np.asarray(global2host, np.int32)
+        V = g2h.shape[0]
+        indptr = np.asarray(csr_topo.indptr)
+        indices = np.asarray(csr_topo.indices)
+        H = int(mesh.devices.size)
+
+        ptrs, idxs, owns = [], [], []
+        for h in range(H):
+            ids = np.where(g2h == h)[0]
+            owns.append(ids)
+            degs = indptr[ids + 1] - indptr[ids] if len(ids) else np.zeros(0, np.int64)
+            p = np.zeros(len(ids) + 1, np.int64)
+            np.cumsum(degs, out=p[1:])
+            ptrs.append(p)
+            idxs.append(np.concatenate(
+                [indices[indptr[v]:indptr[v + 1]] for v in ids])
+                if len(ids) else np.zeros(0, np.int32))
+        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed)
+
+    @classmethod
+    def from_shards(cls, mesh: Mesh, shard_dir: str, sizes: Sequence[int],
+                    seed: int = 0) -> "DistNeighborSampler":
+        """Construct from :func:`build_graph_shards` artifacts — each
+        host's CSR shard only; the full topology is never assembled."""
+        import os
+
+        self = cls.__new__(cls)
+        g2h = np.load(os.path.join(shard_dir, "global2host.npy")).astype(np.int32)
+        H = int(mesh.devices.size)
+        ptrs, idxs, owns = [], [], []
+        for h in range(H):
+            ptrs.append(np.load(os.path.join(shard_dir,
+                                             f"shard_{h}_indptr.npy")))
+            idxs.append(np.load(os.path.join(shard_dir,
+                                             f"shard_{h}_indices.npy")))
+            owns.append(np.load(os.path.join(shard_dir,
+                                             f"shard_{h}_own.npy")))
+        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed)
+        return self
+
+    def _setup(self, mesh, ptrs, idxs, owns, g2h, sizes, seed):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.H = int(mesh.devices.size)
         self.sizes = tuple(int(s) for s in sizes)
         self._key = jax.random.PRNGKey(seed)
 
-        g2h = np.asarray(global2host, np.int32)
         V = g2h.shape[0]
-        indptr = np.asarray(csr_topo.indptr)
-        indices = np.asarray(csr_topo.indices)
-
         g2l = np.zeros(V, np.int32)
-        shard_rows = []
-        rows_max, e_max = 1, 1
-        for h in range(self.H):
-            ids = np.where(g2h == h)[0]
-            g2l[ids] = np.arange(ids.shape[0], dtype=np.int32)
-            shard_rows.append(ids)
-            rows_max = max(rows_max, len(ids))
-            if len(ids):
-                e_max = max(e_max, int((indptr[ids + 1] - indptr[ids]).sum()))
+        for ids in owns:
+            g2l[ids] = np.arange(len(ids), dtype=np.int32)
+        rows_max = max(max((len(o) for o in owns), default=1), 1)
+        e_max = max(max((len(i) for i in idxs), default=1), 1)
         shards_ptr = np.zeros((self.H, rows_max + 1), np.int64)
         shards_idx = np.zeros((self.H, e_max), np.int32)
-        for h, ids in enumerate(shard_rows):
-            if not len(ids):
-                continue
-            degs = indptr[ids + 1] - indptr[ids]
-            shards_ptr[h, 1:len(ids) + 1] = np.cumsum(degs)
-            shards_ptr[h, len(ids) + 1:] = shards_ptr[h, len(ids)]
-            flat = np.concatenate(
-                [indices[indptr[v]:indptr[v + 1]] for v in ids])
-            shards_idx[h, :flat.shape[0]] = flat
+        for h in range(self.H):
+            n = len(owns[h])
+            shards_ptr[h, :n + 1] = ptrs[h]
+            shards_ptr[h, n + 1:] = ptrs[h][n] if n else 0
+            shards_idx[h, :len(idxs[h])] = idxs[h]
 
         ax = self.axis
         self.shards_ptr = jax.device_put(
@@ -163,7 +254,7 @@ class DistNeighborSampler:
         self.shards_idx = jax.device_put(
             jnp.asarray(shards_idx), NamedSharding(mesh, P(ax, None)))
         repl = NamedSharding(mesh, P())
-        self.g2h = jax.device_put(jnp.asarray(g2h), repl)
+        self.g2h = jax.device_put(jnp.asarray(g2h, jnp.int32), repl)
         self.g2l = jax.device_put(jnp.asarray(g2l), repl)
 
     def sample(self, seeds_per_device):

@@ -187,3 +187,66 @@ def test_mixed_sampler_single_backend_modes(mode):
     assert len(got) == 4
     want = "tpu" if mode == "TPU_ONLY" else "cpu"
     assert all(src == want for _, src in got)
+
+
+def test_build_shards_and_from_shards(tmp_path):
+    """The offline shard builder streams COO chunks (never materializing
+    the full CSR inside the sampler) and from_shards reconstructs a
+    sampler whose jitted program state equals the full-topo constructor's
+    — the replacement for the reference's UVA larger-than-device-memory
+    capability (quiver.cu.hpp:16-26,206-215)."""
+    from jax.sharding import Mesh
+    from quiver_tpu import CSRTopo
+    from quiver_tpu.parallel import (DistNeighborSampler,
+                                     build_graph_shards)
+
+    rng = np.random.default_rng(11)
+    V, E, H = 600, 6000, 8
+    row = rng.integers(0, V, E)
+    col = rng.integers(0, V, E)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=V)
+    g2h = rng.integers(0, H, V)
+    mesh = Mesh(np.array(jax.devices()[:H]), ("host",))
+
+    # stream the COO in 7 uneven chunks (CSR edge order!)
+    coo_row = np.repeat(np.arange(V), np.diff(topo.indptr))
+    coo_col = np.asarray(topo.indices)
+    bounds = np.linspace(0, E, 8).astype(int)
+    chunks = [(coo_row[a:b], coo_col[a:b])
+              for a, b in zip(bounds[:-1], bounds[1:])]
+    shard_dir = build_graph_shards(str(tmp_path / "shards"), g2h, chunks)
+
+    s_full = DistNeighborSampler(mesh, topo, g2h, [3, 2], seed=5)
+    s_shard = DistNeighborSampler.from_shards(mesh, shard_dir, [3, 2],
+                                              seed=5)
+    np.testing.assert_array_equal(np.asarray(s_full.shards_ptr),
+                                  np.asarray(s_shard.shards_ptr))
+    np.testing.assert_array_equal(np.asarray(s_full.shards_idx),
+                                  np.asarray(s_shard.shards_idx))
+    np.testing.assert_array_equal(np.asarray(s_full.g2l),
+                                  np.asarray(s_shard.g2l))
+
+    # identical seeds -> identical sampled batches through the mesh
+    seeds = rng.integers(0, V, (H, 16))
+    b_full = s_full.sample(seeds)
+    b_shard = s_shard.sample(seeds)
+    for bf, bs in zip(b_full, b_shard):
+        np.testing.assert_array_equal(np.asarray(bf.n_id),
+                                      np.asarray(bs.n_id))
+        for af, as_ in zip(bf.adjs, bs.adjs):
+            np.testing.assert_array_equal(np.asarray(af.mask),
+                                          np.asarray(as_.mask))
+
+    # and the sampled neighbors are true neighbors
+    b0 = b_shard[0]
+    n_id = np.asarray(b0.n_id)
+    blk = b0.adjs[-1]     # innermost hop (seeds as dst)
+    F, k = blk.size[1], blk.fanout
+    mask = np.asarray(blk.mask)
+    indptr, indices = np.asarray(topo.indptr), np.asarray(topo.indices)
+    for i in range(16):
+        gid = n_id[i]
+        nbrs = set(indices[indptr[gid]:indptr[gid + 1]].tolist())
+        for j in range(k):
+            if mask[i, j]:
+                assert int(n_id[F + i * k + j]) in nbrs
