@@ -33,6 +33,10 @@ def _is_dense(adj) -> bool:
     return hasattr(adj, "fanout")
 
 
+def _is_csr(adj) -> bool:
+    return hasattr(adj, "indptr")
+
+
 def _dense_neighbors(x_src, adj):
     """[F, k, D] lane features + [F, k, 1] mask for a DenseBlock."""
     F, k = adj.size[1], adj.fanout
@@ -69,6 +73,14 @@ class SAGEConv(nn.Module):
                                 jnp.zeros((), x_src.dtype))
             else:
                 raise ValueError(f"unknown aggr {self.aggr!r}")
+        elif _is_csr(adj):
+            # Full-graph block: fused Pallas SpMM (gather+accumulate in
+            # one kernel, no [E, D] intermediate) — ops/spmm.py.
+            if self.aggr not in ("mean", "sum"):
+                raise ValueError("CSRBlock aggregation supports mean/sum; "
+                                 "use full_graph_adj for max")
+            from ..ops.spmm import spmm_csr
+            agg = spmm_csr(adj.indptr, adj.indices, x_src, aggr=self.aggr)
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]
             msgs = jnp.take(x_src, src, axis=0)

@@ -1,6 +1,7 @@
 from .unique import union_reindex, union_reindex_dense, union_reindex_fused
 from .segment import segment_sum, segment_mean, segment_max, segment_softmax
 from .gather import gather_rows, gather_rows_pallas
+from .spmm import spmm_csr, spmm_csr_reference, CSRBlock, full_graph_csr
 
 __all__ = [
     "union_reindex",
@@ -12,4 +13,8 @@ __all__ = [
     "segment_softmax",
     "gather_rows",
     "gather_rows_pallas",
+    "spmm_csr",
+    "spmm_csr_reference",
+    "CSRBlock",
+    "full_graph_csr",
 ]

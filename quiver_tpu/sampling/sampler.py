@@ -413,22 +413,17 @@ class NeighborSampler:
     def _reindex_plan(self, batch_size: int, caps) -> Tuple[str, ...]:
         """Per-layer compaction strategy for the per-hop-dedup path.
 
-        "auto": the O(V) dense table (union_reindex_dense) when the hop's
-        candidate count T is a sizable fraction of V — its ~6 V-length
-        streaming passes then beat the 3 O(T log T) sorts of the fused
-        path (measured on v5e: dense wins from roughly T >= V/32); tiny
-        hops keep the sort path so small graphs/batches pay nothing.
+        "auto" resolves to the 3-sort fused path everywhere: measured on
+        the v5e (products-scale, [15,10,5] b1024), sort-based compaction
+        runs the strict pipeline at 22.6M SEPS vs 8.1M for the O(V)
+        dense table — V-length scatter/cumsum passes are far below sort
+        throughput on this hardware (benchmarks/bench_strict.py).
+        "dense" stays available as an explicit opt-in for hardware where
+        streaming passes beat sorts.
         """
         if self.reindex != "auto":
             return tuple(self.reindex for _ in self.sizes)
-        V = self.csr_topo.node_count
-        plan = []
-        f_cap = batch_size
-        for li, k in enumerate(self.sizes):
-            T = f_cap * (1 + k)
-            plan.append("dense" if T >= max(V // 32, 1) else "sort")
-            f_cap = caps[li]
-        return tuple(plan)
+        return tuple("sort" for _ in self.sizes)
 
     def sample(self, seeds) -> SampledBatch:
         """Sample the k-hop neighborhood of ``seeds``.

@@ -278,3 +278,30 @@ def test_dense_max_aggregation_masked_rows_are_zero():
     out = layer.apply(params, x, blk)
     assert np.isfinite(np.asarray(out)).all()
     assert np.abs(np.asarray(out)).max() < 1e3
+
+
+def test_full_graph_inference_csr_matches_edge_list():
+    """GraphSAGE full-graph inference through the Pallas CSRBlock path
+    must equal the E-wide edge-list (segment) path."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.models import GraphSAGE
+    from quiver_tpu.models.nets import full_graph_adj
+    from quiver_tpu.ops import full_graph_csr
+
+    rng = np.random.default_rng(4)
+    V, D = 200, 16
+    deg = rng.integers(0, 6, V)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1]))
+    x = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+
+    model = GraphSAGE(hidden_features=32, out_features=8, num_layers=2)
+    adj_e = full_graph_adj(indptr, indices)
+    adj_c = full_graph_csr(indptr, indices)
+    params = model.init(jax.random.PRNGKey(0), x, (adj_e, adj_e))
+    out_e = model.apply(params, x, (adj_e, adj_e))
+    out_c = model.apply(params, x, (adj_c, adj_c))
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)

@@ -213,3 +213,30 @@ def test_gather_rows_pallas_interpret():
                                         jnp.asarray(ids, jnp.int32),
                                         rows_per_step=8, interpret=True))
     np.testing.assert_array_equal(out, table[ids])
+
+
+def test_spmm_csr_interpret_matches_oracle():
+    """Pallas CSR SpMM (interpret mode) vs the XLA gather+segment oracle,
+    mean and sum, incl. degree-0 rows and a hub row spanning multiple
+    edge chunks."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops.spmm import spmm_csr, spmm_csr_reference
+
+    rng = np.random.default_rng(0)
+    V, D = 300, 128
+    deg = rng.integers(0, 9, V)
+    deg[7] = 400            # hub spanning several 128-edge chunks
+    deg[13] = 0
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    E = int(indptr[-1])
+    indices = rng.integers(0, V, E)
+    x = rng.normal(size=(V, D)).astype(np.float32)
+
+    for aggr in ("mean", "sum"):
+        got = spmm_csr(indptr, indices, jnp.asarray(x), aggr=aggr,
+                       interpret=True)
+        want = spmm_csr_reference(jnp.asarray(indptr), jnp.asarray(indices),
+                                  jnp.asarray(x), aggr=aggr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=aggr)
