@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--fanout", type=int, nargs="+", default=[15, 10])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--req-slack", type=float, default=None,
+                    help="per-destination request capacity = slack*F/H "
+                         "(None = lossless F)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="append the JSON record to this artifact file")
     args = ap.parse_args()
 
     if args.virtual:
@@ -56,7 +61,8 @@ def main():
     topo = CSRTopo(edge_index=np.stack([rows, cols]), num_nodes=n)
     g2h = rng.integers(0, H, n)
 
-    ds = DistNeighborSampler(mesh, topo, g2h, args.fanout, seed=0)
+    ds = DistNeighborSampler(mesh, topo, g2h, args.fanout, seed=0,
+                             req_slack=args.req_slack)
     B = args.batch_size
     seeds = np.stack([rng.integers(0, n, B) for _ in range(H)])
     batches = ds.sample(seeds)  # compile
@@ -71,11 +77,24 @@ def main():
                            for b in batches for blk in b.adjs)
     dt = time.time() - t0
     seps = total_edges / dt
+    hops = ds.collective_bytes_per_hop(B)
     print(f"{H} devices: {seps/1e6:.2f}M SEPS aggregate "
-          f"({seps/H/1e6:.2f}M/device), {dt/args.iters*1e3:.1f} ms/round",
+          f"({seps/H/1e6:.2f}M/device), {dt/args.iters*1e3:.1f} ms/round; "
+          f"wire/need per hop: "
+          + ", ".join(f"{h['wire_bytes']/max(h['need_bytes'],1):.2f}x"
+                      for h in hops),
           file=sys.stderr)
-    print(json.dumps({"metric": "dist_sample_seps", "devices": H,
-                      "value": round(seps, 1), "unit": "edges/s"}))
+    rec = {"metric": "dist_sample_seps", "devices": H,
+           "backend": jax.default_backend(),
+           "batch_size": B, "fanout": args.fanout,
+           "req_slack": args.req_slack,
+           "value": round(seps, 1), "unit": "edges/s",
+           "ms_per_round": round(dt / args.iters * 1e3, 1),
+           "collective_bytes_per_hop": hops}
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -48,16 +48,23 @@ def _local_sample(indptr, indices, rows, rows_valid, k, key):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int):
+def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int,
+              req_caps):
+    """req_caps: per-hop per-destination request capacity C_l (static).
+    Lossless when C_l == F_l (any ownership skew fits); smaller C_l
+    shrinks the wire format to [H, C_l] — frontier rows beyond a
+    destination's capacity are dropped (their lanes masked), the same
+    trade as the strict pipeline's reindex capacities."""
     def body(ptr, idx, g2h, g2l, seeds, seed_count, key):
         ptr, idx = ptr[0], idx[0]
         seeds, seed_count = seeds[0], seed_count[0]
         frontier = seeds.astype(jnp.int32)
         f_valid = jnp.arange(batch_size, dtype=jnp.int32) < seed_count
         outs = []
-        for k in sizes:
+        for li, k in enumerate(sizes):
             key, sub = jax.random.split(key)
             F = frontier.shape[0]
+            C = req_caps[li]
             owner = jnp.where(f_valid, g2h[jnp.clip(frontier, 0, None)],
                               jnp.int32(H - 1))
             pos = jnp.arange(F, dtype=jnp.int32)
@@ -69,27 +76,30 @@ def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int):
                 s_owner, jnp.arange(H, dtype=jnp.int32), side="left"
             ).astype(jnp.int32)
             rank = pos - group_start[s_owner]
-            # request matrix [H, F]: id+1, 0 = empty slot
-            tgt = s_owner * F + rank
-            req = jnp.zeros((H * F,), jnp.int32).at[tgt].set(
-                jnp.where(v_sorted, f_sorted + 1, 0)).reshape(H, F)
+            in_cap = v_sorted & (rank < C)
+            # request matrix [H, C]: id+1, 0 = empty slot; over-capacity
+            # ranks target the drop slot
+            tgt = jnp.where(rank < C, s_owner * C + rank, jnp.int32(H * C))
+            req = jnp.zeros((H * C + 1,), jnp.int32).at[tgt].set(
+                jnp.where(in_cap, f_sorted + 1, 0),
+                mode="drop")[:H * C].reshape(H, C)
             recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)
             rv = recv.reshape(-1)
             r_valid = rv > 0
             rows = jnp.where(r_valid, g2l[jnp.maximum(rv - 1, 0)], 0)
             nbr, mask, slot = _local_sample(ptr, idx, rows, r_valid, k, sub)
-            back = jax.lax.all_to_all(
-                nbr.reshape(H, F, k), axis, 0, 0, tiled=True)
-            back_m = jax.lax.all_to_all(
-                mask.reshape(H, F, k), axis, 0, 0, tiled=True)
-            back_s = jax.lax.all_to_all(
-                slot.reshape(H, F, k), axis, 0, 0, tiled=True)
+            # ONE return collective: [H, C, 2k] — neighbor ids with -1 on
+            # invalid lanes (mask rides in the sign), then CSR slots.
+            packed = jnp.concatenate(
+                [jnp.where(mask, nbr, -1), slot], axis=1).reshape(H, C, 2 * k)
+            back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
             # reassemble in sorted order, then invert the owner sort
-            nbr_sorted = back[s_owner, rank]          # [F, k]
-            m_sorted = back_m[s_owner, rank]
-            s_sorted = back_s[s_owner, rank]
+            got = back[s_owner, jnp.minimum(rank, C - 1)]      # [F, 2k]
+            nbr_sorted = got[:, :k]
+            m_sorted = (nbr_sorted >= 0) & in_cap[:, None]
+            s_sorted = got[:, k:]
             inv = jnp.zeros((F,), jnp.int32).at[order].set(pos)
-            nbr_o = nbr_sorted[inv]
+            nbr_o = jnp.maximum(nbr_sorted[inv], 0)
             m_o = m_sorted[inv] & f_valid[:, None]
             s_o = s_sorted[inv]
             outs.append((m_o[None], s_o[None],
@@ -185,7 +195,7 @@ class DistNeighborSampler:
     """
 
     def __init__(self, mesh: Mesh, csr_topo, global2host, sizes: Sequence[int],
-                 seed: int = 0):
+                 seed: int = 0, req_slack=None):
         g2h = np.asarray(global2host, np.int32)
         V = g2h.shape[0]
         indptr = np.asarray(csr_topo.indptr)
@@ -203,11 +213,11 @@ class DistNeighborSampler:
             idxs.append(np.concatenate(
                 [indices[indptr[v]:indptr[v + 1]] for v in ids])
                 if len(ids) else np.zeros(0, np.int32))
-        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed)
+        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed, req_slack)
 
     @classmethod
     def from_shards(cls, mesh: Mesh, shard_dir: str, sizes: Sequence[int],
-                    seed: int = 0) -> "DistNeighborSampler":
+                    seed: int = 0, req_slack=None) -> "DistNeighborSampler":
         """Construct from :func:`build_graph_shards` artifacts — each
         host's CSR shard only; the full topology is never assembled."""
         import os
@@ -223,14 +233,16 @@ class DistNeighborSampler:
                                              f"shard_{h}_indices.npy")))
             owns.append(np.load(os.path.join(shard_dir,
                                              f"shard_{h}_own.npy")))
-        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed)
+        self._setup(mesh, ptrs, idxs, owns, g2h, sizes, seed, req_slack)
         return self
 
-    def _setup(self, mesh, ptrs, idxs, owns, g2h, sizes, seed):
+    def _setup(self, mesh, ptrs, idxs, owns, g2h, sizes, seed,
+               req_slack=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.H = int(mesh.devices.size)
         self.sizes = tuple(int(s) for s in sizes)
+        self.req_slack = req_slack
         self._key = jax.random.PRNGKey(seed)
 
         V = g2h.shape[0]
@@ -257,6 +269,38 @@ class DistNeighborSampler:
         self.g2h = jax.device_put(jnp.asarray(g2h, jnp.int32), repl)
         self.g2l = jax.device_put(jnp.asarray(g2l), repl)
 
+    def _req_caps(self, B: int):
+        """Per-hop per-destination request capacity. ``req_slack`` None
+        -> lossless (C = the hop's full frontier width); a float s
+        -> C = min(F, ceil(s * F / H)) rounded up to 8 — the wire
+        format shrinks ~H/s x, and frontier rows landing beyond a
+        destination's capacity are dropped (masked lanes)."""
+        caps, F = [], B
+        for k in self.sizes:
+            if self.req_slack is None:
+                caps.append(F)
+            else:
+                c = -(-int(self.req_slack * F) // self.H)
+                caps.append(min(F, -(-c // 8) * 8))
+            F = F * (1 + k)
+        return tuple(caps)
+
+    def collective_bytes_per_hop(self, B: int):
+        """Logical send bytes per device per hop: the [H, C] id request
+        matrix + the [H, C, 2k] packed answer payload (int32), vs the
+        information-theoretic need (ids actually requested + k
+        (neighbor, slot) pairs per answered row)."""
+        out, F = [], B
+        for li, k in enumerate(self.sizes):
+            C = self._req_caps(B)[li]
+            out.append({
+                "hop": li, "req_cap": int(C),
+                "wire_bytes": int(self.H * C * 4 + self.H * C * 2 * k * 4),
+                "need_bytes": int(F * 4 + F * 2 * k * 4),
+            })
+            F = F * (1 + k)
+        return out
+
     def sample(self, seeds_per_device):
         """seeds_per_device: [n_dev, B] global ids. Returns one
         SampledBatch per device (dense positional contract)."""
@@ -264,7 +308,8 @@ class DistNeighborSampler:
         n_dev, B = seeds.shape
         assert n_dev == self.H, (n_dev, self.H)
         self._key, sub = jax.random.split(self._key)
-        run = _make_run(self.mesh, self.axis, self.H, self.sizes, B)
+        run = _make_run(self.mesh, self.axis, self.H, self.sizes, B,
+                        self._req_caps(B))
         counts = np.full((n_dev,), B, np.int32)
         frontier, outs = run(self.shards_ptr, self.shards_idx, self.g2h,
                              self.g2l, jnp.asarray(seeds, jnp.int32),

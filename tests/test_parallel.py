@@ -250,3 +250,55 @@ def test_build_shards_and_from_shards(tmp_path):
         for j in range(k):
             if mask[i, j]:
                 assert int(n_id[F + i * k + j]) in nbrs
+
+
+def test_dist_sampler_bucketed_request_capacity():
+    """req_slack shrinks the wire format to [H, ~slack*F/H]; with 2x
+    slack over a balanced partition the sampled result should be
+    near-identical to the lossless run (few/no dropped lanes)."""
+    from jax.sharding import Mesh
+    from quiver_tpu import CSRTopo
+    from quiver_tpu.parallel import DistNeighborSampler
+
+    rng = np.random.default_rng(12)
+    V, E, H = 2000, 24000, 8
+    row = rng.integers(0, V, E)
+    col = rng.integers(0, V, E)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=V)
+    g2h = rng.integers(0, H, V)
+    mesh = Mesh(np.array(jax.devices()[:H]), ("host",))
+
+    full = DistNeighborSampler(mesh, topo, g2h, [5, 3], seed=2)
+    slim = DistNeighborSampler(mesh, topo, g2h, [5, 3], seed=2,
+                               req_slack=2.0)
+    B = 64
+    seeds = rng.integers(0, V, (H, B))
+    b_full = full.sample(seeds)
+    b_slim = slim.sample(seeds)
+    e_full = sum(int(np.asarray(blk.mask).sum())
+                 for b in b_full for blk in b.adjs)
+    e_slim = sum(int(np.asarray(blk.mask).sum())
+                 for b in b_slim for blk in b.adjs)
+    assert e_slim >= 0.97 * e_full, (e_slim, e_full)
+
+    # wire accounting: capped format is ~H/slack x smaller and within
+    # ~2x slack of information need at balanced ownership
+    wb = slim.collective_bytes_per_hop(B)
+    wf = full.collective_bytes_per_hop(B)
+    for s_hop, f_hop in zip(wb, wf):
+        assert s_hop["wire_bytes"] <= f_hop["wire_bytes"] / 2
+        assert s_hop["wire_bytes"] <= 3 * s_hop["need_bytes"]
+
+    # sampled neighbors remain true neighbors under capping
+    b0 = b_slim[0]
+    n_id = np.asarray(b0.n_id)
+    blk = b0.adjs[-1]
+    F, k = blk.size[1], blk.fanout
+    mask = np.asarray(blk.mask)
+    indptr, indices = np.asarray(topo.indptr), np.asarray(topo.indices)
+    for i in range(B):
+        gid = n_id[i]
+        nbrs = set(indices[indptr[gid]:indptr[gid + 1]].tolist())
+        for j in range(k):
+            if mask[i, j]:
+                assert int(n_id[F + i * k + j]) in nbrs
