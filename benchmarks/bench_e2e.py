@@ -83,6 +83,10 @@ def main():
     train_idx = rng.permutation(n)[:TRAIN_SEEDS]
     steps = len(train_idx) // BATCH
     t0 = time.time()
+    # The timed epoch INCLUDES the per-epoch window reshuffle — the
+    # honest amortized cost of the window sampling strategy.
+    sampler.reshuffle()
+    resh_s = time.time() - t0
     loss = None
     for s in range(steps):
         key, sub = jax.random.split(key)
@@ -91,13 +95,15 @@ def main():
     lf = float(loss)  # forces the whole in-order stream
     epoch_s = time.time() - t0
     print(f"epoch: {epoch_s:.2f}s for {steps} steps "
-          f"({steps*BATCH/epoch_s:.0f} seeds/s), final loss {lf:.3f}",
+          f"(incl. {resh_s:.2f}s window reshuffle; "
+          f"{steps*BATCH/epoch_s:.0f} seeds/s), final loss {lf:.3f}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "e2e_epoch_products_like_sage3",
         "value": round(epoch_s, 2),
         "unit": "s",
         "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 3),
+        "reshuffle_s": round(resh_s, 2),
     }))
 
 

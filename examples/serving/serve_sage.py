@@ -1,9 +1,19 @@
-"""End-to-end GNN serving demo (the reference's
-examples/serving/reddit/reddit_serving.py flow, TPU-native):
-workload table -> request batcher (size-predictive routing) -> hybrid
-CPU samplers + device inference loop -> p99/throughput report.
+"""End-to-end GNN serving A/B (the reference's
+examples/serving/reddit/reddit_serving.py flow, TPU-native): workload
+table -> request batcher (size-predictive routing) -> hybrid CPU
+samplers + device inference loop -> p50/p99/throughput per routing mode.
 
-  python examples/serving/serve_sage.py [--requests 200]
+The SAME paced request trace is replayed through three configs —
+``auto`` (size-predictive routing), ``device`` (everything on the
+chip), ``cpu`` (everything through the CPU sampler pool) — to show the
+workload-awareness winning, as the reference claims with its tp99 curve
+(README.md:66-70, serving.py:286-360). The routing threshold is
+calibrated from the ``generate_neighbour_num`` cost table: requests
+whose predicted sampled-subgraph size exceeds the trace median go to
+the device (big batches amortize the fixed dispatch cost), small ones
+to the CPU pool (lower latency floor).
+
+  python examples/serving/serve_sage.py [--requests 300] [--rate 120]
 """
 from __future__ import annotations
 
@@ -24,28 +34,101 @@ import quiver_tpu
 from quiver_tpu import CSRTopo, NeighborSampler
 from quiver_tpu.models import GraphSAGE
 from quiver_tpu.serving import (
-    RequestBatcher, HybridSampler, InferenceServer, generate_neighbour_num)
-from examples.train_sage import community_graph
+    RequestBatcher, HybridSampler, InferenceServer, ServerMetrics,
+    generate_neighbour_num)
 
 quiver_tpu.enable_compilation_cache()
+
+
+def make_trace(rng, n_nodes, count, rate_hz):
+    """A mixed workload: mostly small point requests, a tail of large
+    scans (the shape the reference's router exists for), with
+    exponential inter-arrival gaps at the offered rate."""
+    trace = []
+    for i in range(count):
+        if rng.random() < 0.15:
+            size = int(rng.integers(64, 257))    # heavy request
+        else:
+            size = int(rng.integers(1, 9))       # light request
+        seeds = rng.integers(0, n_nodes, size)
+        gap = float(rng.exponential(1.0 / rate_hz))
+        trace.append((seeds, gap))
+    return trace
+
+
+def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
+             cpu_workers):
+    inq = queue.Queue()
+    rb = RequestBatcher(inq, neighbour_num=nn_table, threshold=threshold,
+                       mode=mode)
+    hybrid = HybridSampler(
+        rb.cpu_queue,
+        sampler_factory=lambda: NeighborSampler(topo, fanout, mode="CPU",
+                                                dedup="none"),
+        num_workers=cpu_workers)
+    server = InferenceServer(rb.device_queue, hybrid.sampled_queue,
+                             infer_fn, coalesce_max_seeds=256)
+
+    def replay(items, record=True):
+        if record:
+            server.metrics = ServerMetrics()
+        done, total = 0, len(items)
+        for i, (seeds, gap) in enumerate(items):
+            time.sleep(gap)
+            inq.put((i, seeds, time.time()))
+            # drain completions opportunistically to keep queues short
+            try:
+                while True:
+                    server.result_queue.get_nowait()
+                    done += 1
+            except queue.Empty:
+                pass
+        while done < total:
+            server.result_queue.get(timeout=300)
+            done += 1
+        return server.metrics.summary()
+
+    # warmup replays compile every coalesced bucket shape
+    replay(trace[: max(len(trace) // 3, 8)], record=False)
+    m = replay(trace)
+    rb.stop()
+    return m
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=20000)
-    ap.add_argument("--requests", type=int, default=200)
+    ap.add_argument("--requests", type=int, default=300)
+    ap.add_argument("--rate", type=float, default=120.0,
+                    help="offered request rate (req/s)")
     ap.add_argument("--fanout", type=int, nargs="+", default=[15, 10])
     ap.add_argument("--cpu-workers", type=int, default=2)
+    ap.add_argument("--modes", nargs="+",
+                    default=["auto", "device", "cpu"])
+    ap.add_argument("--cpu-backend", action="store_true",
+                    help="force the JAX CPU backend (logic check)")
     args = ap.parse_args()
+    if args.cpu_backend:
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
-    topo, feat, labels = community_graph(rng, args.nodes, 12)
-    n = topo.node_count
-    classes = int(labels.max()) + 1
+    # power-law degrees: per-node sampled-subgraph sizes vary widely, so
+    # size-predictive routing has a real signal (reference Reddit setup)
+    n = args.nodes
+    w = rng.pareto(1.5, n) + 1.0
+    deg = np.maximum((w / w.sum() * (n * 12)).astype(np.int64), 1)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.shape[0])
+    topo = CSRTopo(edge_index=np.stack([rows, cols]), num_nodes=n)
+    classes = 8
+    labels = rng.integers(0, classes, n)
+    feat = np.concatenate([
+        np.eye(classes, dtype=np.float32)[labels],
+        rng.normal(size=(n, 24)).astype(np.float32)], axis=1)
     feat_j = jnp.asarray(feat)
 
-    # "prepare" phase (reference prepare_data.py): init model params +
-    # build the per-node workload table.
+    # "prepare" phase (reference prepare_data.py): model params + the
+    # per-node workload table.
     dev_sampler = NeighborSampler(topo, args.fanout, seed=0)
     model = GraphSAGE(hidden_features=128, out_features=classes,
                       num_layers=len(args.fanout), dropout=0.0)
@@ -67,44 +150,34 @@ def main():
         out = apply_j(params, x, batch.adjs)
         return np.asarray(out)[: len(seeds)]
 
-    threshold = float(np.percentile(nn_table, 90)) * 4
-    inq = queue.Queue()
-    rb = RequestBatcher(inq, neighbour_num=nn_table, threshold=threshold,
-                        mode="auto")
-    hybrid = HybridSampler(
-        rb.cpu_queue,
-        sampler_factory=lambda: NeighborSampler(topo, args.fanout,
-                                                mode="CPU", dedup="none"),
-        num_workers=args.cpu_workers)
-    server = InferenceServer(rb.device_queue, hybrid.sampled_queue,
-                             infer_fn, coalesce_max_seeds=256)
+    trace = make_trace(rng, n, args.requests, args.rate)
+    # calibrate: route requests above the trace-median predicted cost to
+    # the device (generate_neighbour_num percentiles, reference
+    # serving.py:88-95)
+    costs = [float(np.take(nn_table, s, mode="clip").sum())
+             for s, _ in trace]
+    threshold = float(np.percentile(costs, 50))
+    print(f"routing threshold = trace-median predicted cost "
+          f"{threshold:.0f} nodes")
 
-    from quiver_tpu.serving import ServerMetrics
+    results = {}
+    for mode in args.modes:
+        m = run_mode(mode, trace, topo, args.fanout, nn_table, threshold,
+                     infer_fn, args.cpu_workers)
+        results[mode] = m
+        print(f"{mode:>7}: p50 {m['p50_ms']:7.1f} ms   "
+              f"p99 {m['p99_ms']:7.1f} ms   "
+              f"{m['throughput_rps']:6.1f} req/s   "
+              f"{m['seeds_per_s']:7.0f} seeds/s")
 
-    def wave(tag, count):
-        for i in range(count):
-            size = int(rng.integers(1, 32))
-            seeds = rng.integers(0, n, size)
-            inq.put((i, seeds, time.time()))
-        got = 0
-        while got < count:
-            server.result_queue.get(timeout=300)
-            got += 1
-        m = server.metrics.summary()
-        print(f"{tag}: {m['requests']} requests, avg {m['avg_ms']:.1f} ms, "
-              f"p50 {m['p50_ms']:.1f} ms, p99 {m['p99_ms']:.1f} ms, "
-              f"{m['throughput_rps']:.1f} req/s, "
-              f"{m['seeds_per_s']:.0f} seeds/s")
-
-    # two warmup waves: the second compiles the coalesced-bucket shapes
-    wave("warmup 1 (per-bucket compiles)", max(args.requests // 4, 8))
-    wave("warmup 2 (coalesced buckets)", max(args.requests // 2, 16))
-    server.metrics = ServerMetrics()
-    wave("steady", args.requests)
-    rb.stop()
-    import os
+    if {"auto", "device", "cpu"} <= results.keys():
+        a, d, c = results["auto"], results["device"], results["cpu"]
+        print(f"auto p99 vs device-only: {d['p99_ms']/a['p99_ms']:.2f}x, "
+              f"vs cpu-only: {c['p99_ms']/a['p99_ms']:.2f}x  "
+              f"(>1 = auto wins)")
     sys.stdout.flush()
-    os._exit(0)  # skip teardown races between daemon threads and the runtime
+    import os
+    os._exit(0)  # skip teardown races between daemon threads and runtime
 
 
 if __name__ == "__main__":

@@ -106,6 +106,8 @@ def main():
     key = jax.random.PRNGKey(1)
     bs = args.batch_size
     for epoch in range(args.epochs):
+        if epoch > 0:
+            sampler.reshuffle()   # refresh the window family per epoch
         t0, seen, acc_sum, loss_sum, steps = time.time(), 0, 0.0, 0.0, 0
         perm = rng.permutation(train_idx)
         for s in range(0, len(perm) - bs + 1, bs):

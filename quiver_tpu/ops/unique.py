@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel must sort after every real node id. Node ids are < 2**31 - 8.
-SENTINEL = jnp.int32(2**31 - 8)
+# (A host-side constant — a jnp scalar here would initialize the device
+# backend at import time.)
+SENTINEL = np.int32(2**31 - 8)
 
 
 def _forward_fill(x, is_head):

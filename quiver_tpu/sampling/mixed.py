@@ -53,11 +53,14 @@ class MixedSampler:
 
     def __init__(self, csr_topo, sizes: Sequence[int], job: SampleJob,
                  mode: str = "TPU_CPU_MIXED", num_cpu_workers: int = 2,
-                 seed: int = 0, **sampler_kw):
+                 seed: int = 0, reshuffle_each_epoch: bool = True,
+                 **sampler_kw):
         if mode not in ("TPU_CPU_MIXED", "TPU_ONLY", "CPU_ONLY"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self.job = job
+        self.reshuffle_each_epoch = reshuffle_each_epoch
+        self._epoch = 0
         self.num_cpu_workers = num_cpu_workers if "CPU" in mode else 0
         self.tpu_sampler = (NeighborSampler(csr_topo, sizes, mode="TPU",
                                             seed=seed, **sampler_kw)
@@ -71,6 +74,12 @@ class MixedSampler:
 
     def __iter__(self):
         self.job.shuffle()
+        # refresh the window family between epochs so window-sampling
+        # marginals stay uniform over shuffles (kernels.py window docs)
+        if (self.reshuffle_each_epoch and self._epoch > 0
+                and self.tpu_sampler is not None):
+            self.tpu_sampler.reshuffle()
+        self._epoch += 1
         n_tasks = len(self.job)
         if self.mode == "TPU_ONLY" or not self.cpu_samplers:
             for i in range(n_tasks):

@@ -437,3 +437,75 @@ def test_weighted_cdf_matches_alias_distribution():
     for name in counts:
         freq = counts[name][1:] / counts[name].sum()
         np.testing.assert_allclose(freq, expect, atol=0.02, err_msg=name)
+
+
+def test_window_vs_exact_planted_community_accuracy():
+    """Accuracy A/B on a planted 2-community graph (VERDICT r1 #8): a
+    1-layer SAGE trained with window sampling (with per-epoch
+    reshuffle) must classify within noise of one trained with exact
+    k-subset sampling — the window family's fixed-shuffle bias must not
+    cost accuracy when reshuffled."""
+    import jax
+    import optax
+    import flax.linen as nn
+    from quiver_tpu.models import SAGEConv
+
+    rng = np.random.default_rng(0)
+    n, deg, d = 400, 12, 8
+    comm = (np.arange(n) >= n // 2).astype(np.int32)
+    # SBM-ish: 85% intra-community edges
+    rows = np.repeat(np.arange(n), deg)
+    intra = rng.random(n * deg) < 0.85
+    cols = np.where(
+        intra ^ (comm[rows] == 1),
+        rng.integers(n // 2, n, n * deg),   # community 1 targets
+        rng.integers(0, n // 2, n * deg))   # community 0 targets
+    topo = CSRTopo(edge_index=np.stack([rows, cols]), num_nodes=n)
+    # noisy node features: community signal + noise
+    feat = (comm[:, None] * 1.0 + rng.normal(0, 2.0, (n, d))).astype(
+        np.float32)
+
+    def train_eval(sampling):
+        s = NeighborSampler(topo, [5], mode="TPU", seed=3, dedup="none",
+                            sampling=sampling)
+        model = SAGEConv(2)
+        tx = optax.adam(5e-2)
+        b0 = s.sample(np.arange(64))
+        x0 = jnp.asarray(feat)[jnp.clip(b0.n_id, 0, n - 1)]
+        params = model.init(jax.random.PRNGKey(0), x0, b0.adjs[0])
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o, x, adj, y):
+            def lf(p):
+                lg = model.apply(p, x, adj)[:64]
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    lg, y).mean()
+            l, g = jax.value_and_grad(lf)(p)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), o, l
+
+        order = rng.permutation(n)
+        for epoch in range(3):
+            if epoch:
+                s.reshuffle(seed=epoch)
+            for i in range(0, n - 64 + 1, 64):
+                seeds = order[i:i + 64]
+                b = s.sample(seeds)
+                x = jnp.asarray(feat)[jnp.clip(b.n_id, 0, n - 1)]
+                y = jnp.asarray(comm[seeds])
+                params, opt, _ = step(params, opt, x, b.adjs[0], y)
+        # eval on all nodes
+        correct = 0
+        for i in range(0, n, 64):
+            seeds = np.arange(i, min(i + 64, n))
+            b = s.sample(seeds)
+            x = jnp.asarray(feat)[jnp.clip(b.n_id, 0, n - 1)]
+            lg = model.apply(params, x, b.adjs[0])[:len(seeds)]
+            correct += int((np.asarray(lg.argmax(-1)) == comm[seeds]).sum())
+        return correct / n
+
+    acc_exact = train_eval("exact")
+    acc_window = train_eval("window")
+    assert acc_exact > 0.8, acc_exact          # the task is learnable
+    assert acc_window > acc_exact - 0.06, (acc_window, acc_exact)
