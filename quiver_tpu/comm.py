@@ -68,6 +68,18 @@ class CommWorld:
         return jax.device_put(jnp.asarray(x),
                               NamedSharding(self.mesh, P(self.axis)))
 
+
+    def _fetch(self, out):
+        """Host view of a mesh-sharded result. Single process: the full
+        array. Multi-process: only this process's rows (sorted by device
+        position) — the per-process contract of the reference's NCCL
+        wrapper."""
+        if out.is_fully_addressable:
+            return np.asarray(out)
+        shards = sorted(out.addressable_shards,
+                        key=lambda sh: sh.index[0].start or 0)
+        return np.concatenate([np.asarray(sh.data) for sh in shards], 0)
+
     def allreduce(self, x_per_device):
         """x: [n_dev, ...] leading-axis sharded; returns the psum
         (replicated result), like NcclComm::allreduce quiver_comm.cu:66."""
@@ -79,7 +91,7 @@ class CommWorld:
         out = jax.jit(shard_map(
             f, mesh=self.mesh, in_specs=P(ax), out_specs=P(ax)))(
                 self._sharded(x_per_device))
-        return np.asarray(out)[0]
+        return self._fetch(out)[0]
 
     def allgather(self, x_per_device):
         ax = self.axis
@@ -90,7 +102,7 @@ class CommWorld:
         out = jax.jit(shard_map(
             f, mesh=self.mesh, in_specs=P(ax), out_specs=P(ax),
             check_vma=False))(self._sharded(x_per_device))
-        return np.asarray(out)[0]
+        return self._fetch(out)[0]
 
     def alltoall(self, x_per_device):
         """x: [n_dev, n_dev, ...]; row d = device d's chunks; returns the
@@ -103,7 +115,7 @@ class CommWorld:
         out = jax.jit(shard_map(
             f, mesh=self.mesh, in_specs=P(ax), out_specs=P(ax),
             check_vma=False))(self._sharded(x_per_device))
-        return np.asarray(out)
+        return self._fetch(out)
 
     def shift(self, x_per_device, offset: int = 1):
         """Ring send/recv: device d's data goes to d+offset (mod size) —
@@ -117,7 +129,7 @@ class CommWorld:
         out = jax.jit(shard_map(
             f, mesh=self.mesh, in_specs=P(ax), out_specs=P(ax),
             check_vma=False))(self._sharded(x_per_device))
-        return np.asarray(out)
+        return self._fetch(out)
 
 
 # Migration alias: the reference exports `NcclComm` (comm.py / quiver_comm.cu).

@@ -434,16 +434,27 @@ class DistFeature:
 
         if self._exchange_fn is None:
             self._exchange_fn = self._build_exchange()
-        ans = np.asarray(self._exchange_fn(self.tables, jnp.asarray(req)))
+        ans = self._exchange_fn(self.tables, jnp.asarray(req))
 
-        D = ans.shape[-1]
+        # Multi-process: each process can read only its own hosts'
+        # shards; remote hosts' results stay on their owners (None here)
+        # — exactly the reference's per-process contract.
+        by_host = {}
+        for s in ans.addressable_shards:
+            h0 = s.index[0].start or 0
+            by_host[int(h0)] = np.asarray(s.data)[0]
+
         outs = []
         for h in range(H):
+            if h not in by_host:
+                outs.append(None)
+                continue
+            a = by_host[h]
             m = len(np.asarray(ids_per_host[h]))
-            out = np.zeros((m, D), ans.dtype)
+            out = np.zeros((m, a.shape[-1]), a.dtype)
             for d in range(H):
                 sel = sel_by[h][d]
-                out[sel] = ans[h, d, :len(sel)]
+                out[sel] = a[d, :len(sel)]
             outs.append(jnp.asarray(out))
         return outs
 
