@@ -42,21 +42,31 @@ BASELINE_EPOCH_S = 11.1     # reference Quiver 1-GPU epoch
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fp32", action="store_true",
+                    help="fp32 features + compute (reference dtype); "
+                         "default is bf16 storage/compute with fp32 loss")
+    args = ap.parse_args()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+
     t0 = time.time()
     indptr, indices = build_graph()
     topo = CSRTopo(indptr=indptr, indices=indices)
     n = topo.node_count
     rng = np.random.default_rng(0)
-    # bf16 feature storage halves gather bytes; loss math stays fp32
+    # default: bf16 feature storage halves gather bytes; loss math fp32.
+    # --fp32 matches the reference's dtype end to end.
     feat = jax.device_put(jnp.asarray(
-        rng.normal(size=(n, DIM)).astype(np.float32)).astype(jnp.bfloat16))
+        rng.normal(size=(n, DIM)).astype(np.float32)).astype(dtype))
     labels = jax.device_put(jnp.asarray(
         rng.integers(0, CLASSES, n, dtype=np.int32)))
     print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
 
     sampler = NeighborSampler(topo, FANOUT, seed=0)
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
-                      num_layers=3, dropout=0.0, dtype=jnp.bfloat16)
+                      num_layers=3, dropout=0.0,
+                      dtype=None if args.fp32 else jnp.bfloat16)
     tx = optax.adam(1e-3)
 
     b0 = sampler.sample(np.arange(BATCH))
@@ -99,7 +109,8 @@ def main():
           f"{steps*BATCH/epoch_s:.0f} seeds/s), final loss {lf:.3f}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "e2e_epoch_products_like_sage3",
+        "metric": "e2e_epoch_products_like_sage3"
+                  + ("_fp32" if args.fp32 else ""),
         "value": round(epoch_s, 2),
         "unit": "s",
         "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 3),

@@ -89,9 +89,44 @@ def main():
                  + F * D_OUT) * bpe
     g_gat = bench_layer(gat, x, adj, pg, gat_flops, gat_bytes, "GATConv fwd")
 
+    # Full-graph aggregation: Pallas fused CSR SpMM vs the XLA
+    # gather+segment path, on a power-law graph slice. Both are
+    # descriptor-bound (~1 feature-row fetch per edge); the kernel's win
+    # is skipping the [E, D] HBM round trip + the sorted scatter.
+    from quiver_tpu.ops.spmm import spmm_csr, spmm_csr_reference
+    rngg = np.random.default_rng(1)
+    Vg = 250_000
+    w = rngg.pareto(1.5, Vg) + 1.0
+    degg = np.maximum((w / w.sum() * (Vg * 12)).astype(np.int64), 1)
+    indptr = np.zeros(Vg + 1, np.int64)
+    np.cumsum(degg, out=indptr[1:])
+    Eg = int(indptr[-1])
+    indices = rngg.integers(0, Vg, Eg).astype(np.int32)
+    xg = jnp.asarray(rngg.normal(size=(Vg, 128)).astype(np.float32))
+    ip_j, idx_j = jnp.asarray(indptr, jnp.int32), jnp.asarray(indices)
+
+    def timed(fn, label):
+        out = fn()
+        _ = float(jnp.sum(out[:1]))
+        t0 = time.time()
+        outs = [fn() for _ in range(3)]
+        _ = float(jnp.sum(outs[-1][:1]))
+        dt = (time.time() - t0) / 3
+        eps = Eg / dt
+        print(f"{label}: {dt*1e3:.1f} ms ({eps/1e6:.1f}M edges/s; "
+              f"descriptor roofline ~100M rows/s)", file=sys.stderr)
+        return dt
+
+    dt_xla = timed(lambda: spmm_csr_reference(ip_j, idx_j, xg),
+                   f"full-graph XLA gather+segment ({Eg/1e6:.1f}M edges)")
+    dt_pl = timed(lambda: spmm_csr(ip_j, idx_j, xg), "full-graph Pallas SpMM")
+
     print(json.dumps({"sage_gbps": round(g_sage, 1),
                       "gat_gbps": round(g_gat, 1),
-                      "hbm_roofline_gbps": V5E_HBM_GBPS}))
+                      "hbm_roofline_gbps": V5E_HBM_GBPS,
+                      "fullgraph_xla_ms": round(dt_xla * 1e3, 1),
+                      "fullgraph_pallas_ms": round(dt_pl * 1e3, 1),
+                      "fullgraph_speedup": round(dt_xla / dt_pl, 2)}))
 
 
 if __name__ == "__main__":

@@ -84,6 +84,36 @@ def sample_adjacency(indptr, indices, frontier, frontier_valid, k: int, key):
     return nbr, mask, slot
 
 
+def build_meta2(indptr):
+    """Host-side [V, 2] int32 (row start, degree) table: exact-mode
+    sampling reads BOTH with one 2-D row gather (~10 ns/row on v5e)
+    instead of two scattered indptr element gathers."""
+    import numpy as np
+    indptr = np.asarray(indptr, np.int64)
+    meta = np.empty((indptr.shape[0] - 1, 2), np.int32)
+    meta[:, 0] = indptr[:-1]
+    meta[:, 1] = indptr[1:] - indptr[:-1]
+    return meta
+
+
+def sample_adjacency_meta(meta2, indices, frontier, frontier_valid,
+                          k: int, key):
+    """Exact Floyd k-subset sampling, (start, deg) from the meta table.
+    Same contract as :func:`sample_adjacency`."""
+    V = meta2.shape[0]
+    f = jnp.clip(frontier.astype(jnp.int32), 0, V - 1)
+    mr = jnp.take(meta2, f, axis=0)                 # [N, 2]
+    start = mr[:, 0]
+    deg = jnp.where(frontier_valid, mr[:, 1], 0)
+    pos = _floyd_positions(key, deg, k)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    cnt = jnp.minimum(deg, k)
+    mask = (ar[None, :] < cnt[:, None]) & frontier_valid[:, None]
+    slot = jnp.where(mask, start[:, None] + pos, 0)
+    nbr = jnp.take(indices, slot, mode="clip").astype(jnp.int32)
+    return nbr, mask, slot
+
+
 _WINDOW_LANES = 128  # block width of the 2-D adjacency layout
 
 

@@ -36,8 +36,10 @@ import numpy as np
 from ..ops.unique import union_reindex_fused, union_reindex_dense, SENTINEL
 from .kernels import (
     sample_adjacency,
+    sample_adjacency_meta,
     sample_adjacency_window,
     sample_adjacency_packed,
+    build_meta2,
     build_window_layout,
     build_packed_layout,
     weighted_sample_adjacency,
@@ -46,6 +48,15 @@ from .kernels import (
     build_row_cdf,
     cal_next_prob,
 )
+
+
+def _sample_exact(indptr, indices, frontier, f_valid, k, key):
+    """Exact-mode dispatch: (meta2, indices) tuple -> one-row-gather
+    meta kernel; plain array -> indptr element gathers."""
+    if isinstance(indices, tuple):
+        meta2, ind1d = indices
+        return sample_adjacency_meta(meta2, ind1d, frontier, f_valid, k, key)
+    return sample_adjacency(indptr, indices, frontier, f_valid, k, key)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -161,7 +172,7 @@ def _sample_layers_dense(indptr, indices, edge_table, seeds, seed_count, key, *,
             nbr, mask, slot = sample_adjacency_window(
                 meta, ind2d, frontier, f_valid, k, sub)
         else:
-            nbr, mask, slot = sample_adjacency(
+            nbr, mask, slot = _sample_exact(
                 indptr, indices, frontier, f_valid, k, sub)
         layer_outs.append((mask, slot, jnp.sum(f_valid).astype(jnp.int32)))
         frontier = jnp.concatenate(
@@ -228,7 +239,7 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
             nbr, mask, slot = sample_adjacency_window(
                 meta, ind2d, frontier, f_valid, k, sub)
         else:
-            nbr, mask, slot = sample_adjacency(
+            nbr, mask, slot = _sample_exact(
                 indptr, indices, frontier, f_valid, k, sub)
 
         cap = caps[li]
@@ -342,8 +353,13 @@ class NeighborSampler:
                     csr_topo.indptr, shuffled)
                 self.indices = (put(jnp.asarray(packed2d)),
                                 put(jnp.asarray(seed_meta)))
-            else:
+            elif self.weighted:
                 self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
+            else:
+                # exact mode: (start, deg) meta table + flat indices —
+                # one row gather replaces two indptr element gathers
+                self.indices = (put(jnp.asarray(build_meta2(csr_topo.indptr))),
+                                put(jnp.asarray(csr_topo.indices, jnp.int32)))
             if self.weighted:
                 # packed per-row alias tables (prob bits | alias pos);
                 # see weighted_sample_alias (kernels.py)
