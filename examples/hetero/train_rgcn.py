@@ -6,7 +6,14 @@ Synthetic hetero graph: nodes carry one of R relation types per edge;
 ``RGCN`` transforms messages per relation. Edge types ride along as a
 per-lane array aligned with each DenseBlock.
 
-  python examples/hetero/train_rgcn.py [--epochs 2]
+``--mmap`` reproduces the MAG240M feature story (reference
+benchmarks/ogbn-mag240m/train_quiver_multi_node.py:120-131,325-334):
+the feature table lives in an on-disk .npy, sorted hot-first; only the
+device-cache prefix is loaded to HBM and every cold row pages in from
+the memory map at lookup time — the table never materializes in host
+RAM.
+
+  python examples/hetero/train_rgcn.py [--epochs 2] [--mmap]
 """
 from __future__ import annotations
 
@@ -38,6 +45,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--fanout", type=int, nargs="+", default=[8, 4])
+    ap.add_argument("--mmap", action="store_true",
+                    help="serve features from an on-disk mmap with a "
+                         "small device cache (MAG240M pattern)")
+    ap.add_argument("--cache-rows", type=int, default=1000)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -54,7 +65,31 @@ def main():
     model = RGCN(hidden_features=64, out_features=classes,
                  num_layers=len(args.fanout), num_relations=R, dropout=0.0)
 
-    feat_j = jnp.asarray(feat)
+    if args.mmap:
+        import tempfile
+        from quiver_tpu import Feature
+        # hot-first on-disk order (degree-ordered, like the reference's
+        # preprocessed sorted feature file)
+        order = np.argsort(-np.asarray(topo.degree), kind="stable")
+        old2new = np.empty(n, np.int64)
+        old2new[order] = np.arange(n)
+        path = Path(tempfile.mkdtemp(prefix="quiver_mmap_")) / "feat.npy"
+        np.save(path, feat[order])
+        store = Feature.from_mmap(
+            str(path),
+            device_cache_size=args.cache_rows * feat.shape[1] * 4)
+        store.feature_order = old2new
+        print(f"mmap feature store: {store.hot_rows}/{n} rows on device, "
+              f"rest page from {path}")
+
+        def get_x(n_id):
+            return store[np.clip(np.asarray(n_id), 0, n - 1)]
+    else:
+        feat_j = jnp.asarray(feat)
+
+        def get_x(n_id):
+            return feat_j[jnp.clip(n_id, 0, n - 1)]
+
     labels_j = jnp.asarray(labels)
     etype_j = jnp.asarray(edge_type)
 
@@ -64,7 +99,7 @@ def main():
                      for blk in batch.adjs)
 
     b0 = sampler.sample(np.arange(args.batch_size))
-    x0 = feat_j[jnp.clip(b0.n_id, 0, n - 1)]
+    x0 = get_x(b0.n_id)
     params = model.init(jax.random.PRNGKey(0), x0, b0.adjs,
                         block_etypes(b0))
     tx = optax.adam(1e-3)
@@ -91,7 +126,7 @@ def main():
         for s in range(0, len(perm) - bs + 1, bs):
             seeds = perm[s: s + bs]
             b = sampler.sample(seeds)
-            x = feat_j[jnp.clip(b.n_id, 0, n - 1)]
+            x = get_x(b.n_id)
             y = labels_j[jnp.asarray(seeds)]
             params, opt_state, loss, logits = step(
                 params, opt_state, x, b.adjs, block_etypes(b), y)

@@ -5,9 +5,15 @@ Reference pipeline (preprocess.py:118-211 + train_quiver_multi_node.py):
   1. per host: sampler.sample_prob(train split) -> access probabilities
   2. partition_without_replication -> global2host / local_order artifacts
   3. runtime: DistFeature NCCL exchange + per-host UVA sampling.
-TPU rebuild: same offline steps, then DistNeighborSampler (node-
-partitioned CSR shards + all_to_all) and a data-parallel train step over
-one mesh. Runs on a virtual CPU mesh for CI:
+TPU rebuild, same offline steps then:
+  * build_graph_shards streams the COO once into per-host CSR artifacts
+    (no host ever holds the full graph — the >host-memory story),
+  * DistNeighborSampler.from_shards samples the partitioned graph with
+    one all_to_all pair per hop,
+  * DistFeature resolves every host's frontier features concurrently
+    (partitioned tables, one collective pair),
+  * data-parallel train step over the same mesh.
+Runs on a virtual CPU mesh for CI:
 
   python examples/multi_host/preprocess_and_train.py --virtual 8
 """
@@ -48,11 +54,12 @@ def main():
 
     import quiver_tpu
     from quiver_tpu import CSRTopo, NeighborSampler
+    from quiver_tpu.feature import PartitionInfo, DistFeature
     from quiver_tpu.partition import quiver_partition_feature
     from quiver_tpu.models import GraphSAGE
     from quiver_tpu.parallel import (
-        DistNeighborSampler, stack_batches, replicate, shard_leading,
-        make_dp_train_step)
+        DistNeighborSampler, build_graph_shards, stack_batches, replicate,
+        shard_leading, make_dp_train_step)
     from examples.train_sage import community_graph
 
     quiver_tpu.enable_compilation_cache()
@@ -83,17 +90,47 @@ def main():
     print(f"partition in {time.time()-t0:.1f}s -> {outdir}; "
           f"own-probability mass {own_mass/tot_mass:.2f}")
 
-    # ---- runtime: partitioned distributed sampling + DP training
-    dist = DistNeighborSampler(mesh, topo, book, args.fanout, seed=0)
+    # ---- offline: stream the COO into per-host CSR shard artifacts
+    # (peak memory = one host's edges; the sampler never sees full CSR)
+    t0 = time.time()
+    coo_row = np.repeat(np.arange(n), np.diff(topo.indptr))
+    coo_col = np.asarray(topo.indices)
+    bounds = np.linspace(0, topo.edge_count, 17).astype(int)
+    chunks = ((coo_row[a:b], coo_col[a:b])
+              for a, b in zip(bounds[:-1], bounds[1:]))
+    shard_dir = build_graph_shards(os.path.join(outdir, "shards"), book,
+                                   chunks)
+    print(f"graph shards in {time.time()-t0:.1f}s -> {shard_dir}")
+
+    # ---- runtime: partitioned distributed sampling + partitioned
+    # feature exchange + DP training
+    dist = DistNeighborSampler.from_shards(mesh, shard_dir, args.fanout,
+                                           seed=0, req_slack=2.0)
+    # per-host feature tables in the partition's local order
+    info = PartitionInfo(host=0, hosts=H, global2host=book)
+    rows_max = int(info.local_sizes.max())
+    D = feat.shape[1]
+    tables = np.zeros((H, rows_max, D), feat.dtype)
+    for h in range(H):
+        ids = np.where(book == h)[0]
+        tables[h, :len(ids)] = feat[ids]
+    dist_feat = DistFeature(mesh, tables, info)
+
     model = GraphSAGE(hidden_features=64, out_features=classes,
                       num_layers=len(args.fanout), dropout=0.0)
     tx = optax.adam(1e-3)
-    feat_j = jnp.asarray(feat)
+
+    def gather_x(batches):
+        """Every host's frontier resolved in ONE concurrent exchange."""
+        ids_per_host = [np.clip(np.asarray(b.n_id), 0, n - 1)
+                        for b in batches]
+        outs = dist_feat.exchange(ids_per_host)
+        return jnp.stack([jnp.asarray(o) for o in outs])
 
     bs = args.batch_size
     seeds0 = np.stack([rng.choice(n, bs, replace=False) for _ in range(H)])
     batches = dist.sample(seeds0)
-    x0 = feat_j[jnp.clip(batches[0].n_id, 0, n - 1)]
+    x0 = gather_x(batches)[0]
     params = replicate(model.init(jax.random.PRNGKey(0), x0,
                                   batches[0].adjs), mesh)
     opt_state = replicate(tx.init(params), mesh)
@@ -105,8 +142,7 @@ def main():
                              for _ in range(H)])
         batches = dist.sample(seed_mat)
         adjs = shard_leading(stack_batches([b.adjs for b in batches]), mesh)
-        x = shard_leading(jnp.stack(
-            [feat_j[jnp.clip(b.n_id, 0, n - 1)] for b in batches]), mesh)
+        x = shard_leading(gather_x(batches), mesh)
         y = shard_leading(jnp.asarray(labels[seed_mat]), mesh)
         params, opt_state, loss = step(params, opt_state, x, adjs, y)
         losses.append(float(loss))
