@@ -123,7 +123,15 @@ class GATConv(nn.Module):
         a_s = (xw * att_src).sum(-1)          # [N, H]
         a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
 
-        if _is_dense(adj):
+        if _is_csr(adj):
+            # Full-graph block: fused Pallas SDDMM + edge softmax +
+            # weighted SpMM, one pass per head (ops/spmm.py gat_csr).
+            from ..ops.spmm import gat_csr
+            out = jnp.stack(
+                [gat_csr(adj.indptr, adj.indices, xw[:, h, :],
+                         a_s[:, h], a_d[:, h], self.negative_slope)
+                 for h in range(H)], axis=1)                # [V, H, C]
+        elif _is_dense(adj):
             # Positional fast path: attention softmax over the fanout
             # axis — a plain masked softmax, no segment ops.
             F, k = dst_cap, adj.fanout

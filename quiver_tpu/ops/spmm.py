@@ -29,7 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spmm_csr", "spmm_csr_reference", "CSRBlock", "full_graph_csr"]
+__all__ = ["spmm_csr", "spmm_csr_reference", "CSRBlock", "full_graph_csr",
+           "gat_csr", "gat_csr_reference"]
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -194,4 +195,172 @@ def spmm_csr(indptr, indices, x, aggr: str = "mean",
     idx = jnp.concatenate([idx, jnp.zeros((_CHUNK,), jnp.int32)])
     out = _spmm_padded(starts.reshape(-1, _R), ends.reshape(-1, _R),
                        idx, jnp.asarray(x), aggr=aggr, interpret=interpret)
+    return out[:V]
+
+
+# ---------------------------------------------------------------------------
+# Fused full-graph GAT aggregation: SDDMM (attention logits) + edge
+# softmax + weighted SpMM in ONE pass over the CSR, flash-attention
+# style (online softmax over edge chunks). The source attention term
+# a_src rides as an extra feature column, so each edge still costs one
+# row fetch; per chunk the destination one-hot drives masked max /
+# weighted accumulate on the MXU/VPU.
+
+
+def gat_csr_reference(indptr, indices, xw, a_src, a_dst,
+                      negative_slope=0.2):
+    """XLA oracle: e = leakyrelu(a_src[src] + a_dst[dst]), per-dst
+    softmax, weighted sum of xw[src]."""
+    from .segment import segment_softmax, segment_sum
+
+    V = indptr.shape[0] - 1
+    E = indices.shape[0]
+    dst = jnp.searchsorted(indptr.astype(jnp.int64),
+                           jnp.arange(E, dtype=jnp.int64),
+                           side="right").astype(jnp.int32) - 1
+    e = jnp.take(a_src, indices) + jnp.take(a_dst, dst)
+    e = jax.nn.leaky_relu(e, negative_slope)
+    alpha = segment_softmax(e, dst, V)
+    msgs = jnp.take(xw, indices, axis=0) * alpha[:, None]
+    return segment_sum(msgs, dst, V)
+
+
+def _gat_kernel(starts_ref, ends_ref, adst_ref, indices_ref, xa_ref,
+                out_ref, acc_ref, m_ref, s_ref, idx_ref, xrows_ref,
+                idx_sem, row_sems, *, d: int, slope: float):
+    starts = starts_ref[0]
+    ends = ends_ref[0]
+    a_dst = adst_ref[0]                        # [R] f32
+    e0 = starts[0]
+    e_end = ends[_R - 1]
+
+    acc_ref[:] = jnp.zeros((_R, d), jnp.float32)
+    m_ref[:] = jnp.full((_R, 1), -jnp.inf, jnp.float32)
+    s_ref[:] = jnp.zeros((_R, 1), jnp.float32)
+
+    n_chunks = pl.cdiv(e_end - e0, _CHUNK)
+
+    def chunk_body(c, _):
+        s = e0 + c * _CHUNK
+        cp = pltpu.make_async_copy(indices_ref.at[pl.ds(s, _CHUNK)],
+                                   idx_ref, idx_sem)
+        cp.start()
+        cp.wait()
+        n_valid = jnp.minimum(e_end - s, _CHUNK)
+
+        def row_dma(j, slot):
+            rid = idx_ref[j]
+            return pltpu.make_async_copy(xa_ref.at[rid],
+                                         xrows_ref.at[j], row_sems.at[slot])
+
+        for j in range(_INFLIGHT):
+            row_dma(j, j).start()
+        for j in range(_CHUNK):
+            row_dma(j, j % _INFLIGHT).wait()
+            nxt = j + _INFLIGHT
+            if nxt < _CHUNK:
+                row_dma(nxt, nxt % _INFLIGHT).start()
+
+        pos = s + jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _R), 0)
+        onehot = ((pos >= starts[None, :]) & (pos < ends[None, :]))
+        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+                   < n_valid)
+        onehot = onehot & lane_ok                       # [CHUNK, R] bool
+
+        xa = xrows_ref[:].astype(jnp.float32)           # [CHUNK, d+pad]
+        a_s = xa[:, d]                                  # lane a_src term
+        logits = a_s[:, None] + a_dst[None, :]          # [CHUNK, R]
+        logits = jnp.where(logits >= 0, logits, slope * logits)
+        logits = jnp.where(onehot, logits, -jnp.inf)
+
+        m_old = m_ref[:][:, 0]                          # [R]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=0))
+        # rescale previous accumulation (guard fully-empty rows)
+        scale = jnp.where(jnp.isfinite(m_old),
+                          jnp.exp(m_old - jnp.where(jnp.isfinite(m_new),
+                                                    m_new, 0.0)), 0.0)
+        w = jnp.where(onehot,
+                      jnp.exp(logits - jnp.where(jnp.isfinite(m_new),
+                                                 m_new, 0.0)[None, :]),
+                      0.0)                               # [CHUNK, R]
+        acc_ref[:] = acc_ref[:] * scale[:, None] + jax.lax.dot_general(
+            w, xa[:, :d], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_ref[:] = s_ref[:] * scale[:, None] + jnp.sum(w, axis=0)[:, None]
+        m_ref[:] = m_new[:, None]
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # epsilon must be a NORMAL float32: subnormals (e.g. 1e-38) flush to
+    # zero on TPU/XLA-CPU, turning empty rows into 0/0 = NaN
+    denom = jnp.maximum(s_ref[:], 1e-30)
+    out_ref[:] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("slope", "interpret"))
+def _gat_padded(starts2d, ends2d, adst2d, indices, xa, *, slope,
+                interpret):
+    Vp = starts2d.shape[0] * _R
+    Dp = xa.shape[1]
+    d = Dp - _PAD_COLS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(starts2d.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((_R, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_R, d), jnp.float32),
+            pltpu.VMEM((_R, 1), jnp.float32),
+            pltpu.VMEM((_R, 1), jnp.float32),
+            pltpu.VMEM((_CHUNK,), jnp.int32),
+            pltpu.VMEM((_CHUNK, Dp), xa.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_INFLIGHT,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_kernel, d=d, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((Vp, d), xa.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts2d, ends2d, adst2d, indices, xa)
+
+
+_PAD_COLS = 1   # a_src rides in column d of the augmented feature rows
+
+
+def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
+            interpret: bool = False):
+    """Fused full-graph GAT aggregation over a CSR graph (one head):
+    out[v] = sum_j softmax_j(leakyrelu(a_src[j] + a_dst[v])) * xw[j]
+    for j in N(v). Rows with no neighbors return 0.
+
+    One Pallas pass: per-edge row DMA of [xw | a_src] rows, online
+    softmax per destination (flash-attention over ragged neighborhoods).
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    ip = jnp.asarray(indptr, jnp.int32)
+    V = ip.shape[0] - 1
+    Vp = -(-V // _R) * _R
+    pad = Vp - V
+    last = ip[-1]
+    starts = jnp.concatenate([ip[:-1], jnp.full((pad,), last, jnp.int32)])
+    ends = jnp.concatenate([ip[1:], jnp.full((pad,), last, jnp.int32)])
+    adst = jnp.concatenate([jnp.asarray(a_dst, jnp.float32),
+                            jnp.zeros((pad,), jnp.float32)])
+    idx = jnp.concatenate([jnp.asarray(indices, jnp.int32),
+                           jnp.zeros((_CHUNK,), jnp.int32)])
+    xa = jnp.concatenate([jnp.asarray(xw),
+                          jnp.asarray(a_src)[:, None].astype(xw.dtype)], 1)
+    out = _gat_padded(starts.reshape(-1, _R), ends.reshape(-1, _R),
+                      adst.reshape(-1, _R), idx, xa,
+                      slope=float(negative_slope), interpret=interpret)
     return out[:V]

@@ -305,3 +305,30 @@ def test_full_graph_inference_csr_matches_edge_list():
     out_c = model.apply(params, x, (adj_c, adj_c))
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_e),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_full_graph_gat_csr_matches_edge_list():
+    """GATConv full-graph inference through the fused Pallas CSRBlock
+    path must equal the E-wide edge-list (segment softmax) path."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.models import GATConv
+    from quiver_tpu.models.nets import full_graph_adj
+    from quiver_tpu.ops import full_graph_csr
+
+    rng = np.random.default_rng(9)
+    V, D = 160, 16
+    deg = rng.integers(0, 5, V)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1]))
+    x = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+
+    layer = GATConv(8, heads=2)
+    adj_e = full_graph_adj(indptr, indices)
+    adj_c = full_graph_csr(indptr, indices)
+    params = layer.init(jax.random.PRNGKey(0), x, adj_e)
+    out_e = layer.apply(params, x, adj_e)
+    out_c = layer.apply(params, x, adj_c)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)

@@ -240,3 +240,32 @@ def test_spmm_csr_interpret_matches_oracle():
                                   jnp.asarray(x), aggr=aggr)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5, err_msg=aggr)
+
+
+def test_gat_csr_interpret_matches_oracle():
+    """Fused full-graph GAT kernel (SDDMM + online edge softmax +
+    weighted SpMM in one pass) vs the XLA segment oracle, incl.
+    degree-0 rows and a multi-chunk hub."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops.spmm import gat_csr, gat_csr_reference
+
+    rng = np.random.default_rng(3)
+    V, D = 280, 128
+    deg = rng.integers(0, 7, V)
+    deg[5] = 300            # hub spanning several chunks
+    deg[11] = 0
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    E = int(indptr[-1])
+    indices = rng.integers(0, V, E)
+    xw = rng.normal(size=(V, D)).astype(np.float32)
+    a_src = rng.normal(size=V).astype(np.float32)
+    a_dst = rng.normal(size=V).astype(np.float32)
+
+    got = gat_csr(indptr, indices, jnp.asarray(xw), jnp.asarray(a_src),
+                  jnp.asarray(a_dst), interpret=True)
+    want = gat_csr_reference(jnp.asarray(indptr), jnp.asarray(indices),
+                             jnp.asarray(xw), jnp.asarray(a_src),
+                             jnp.asarray(a_dst))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
