@@ -79,23 +79,25 @@ def spmm_csr_reference(indptr, indices, x, aggr="mean"):
 def _kernel(starts_ref, ends_ref, indices_ref, x_ref, out_ref,
             acc_ref, idx_ref, xrows_ref, idx_sem, row_sems, *,
             mean: bool, d: int):
-    starts = starts_ref[0]                     # [R] int32 edge starts
-    ends = ends_ref[0]                         # [R] int32 edge ends
+    starts = starts_ref[0, 0]                  # [R] int32 edge starts
+    ends = ends_ref[0, 0]                      # [R] int32 edge ends
     e0 = starts[0]
     e_end = ends[_R - 1]
 
     acc_ref[:] = jnp.zeros((_R, d), jnp.float32)
 
-    n_chunks = pl.cdiv(e_end - e0, _CHUNK)
+    # chunk rows are _CHUNK-aligned (HBM slices must be tile-aligned);
+    # boundary lanes belonging to neighboring blocks mask out via onehot
+    c0 = e0 // _CHUNK
+    n_chunks = pl.cdiv(e_end, _CHUNK) - c0
 
     def chunk_body(c, _):
-        s = e0 + c * _CHUNK
-        # 1) fetch this chunk of CSR column ids (one DMA)
-        cp = pltpu.make_async_copy(indices_ref.at[pl.ds(s, _CHUNK)],
-                                   idx_ref, idx_sem)
+        row = c0 + c
+        s = row * _CHUNK
+        # 1) fetch this chunk of CSR column ids (one row DMA)
+        cp = pltpu.make_async_copy(indices_ref.at[row], idx_ref, idx_sem)
         cp.start()
         cp.wait()
-        n_valid = jnp.minimum(e_end - s, _CHUNK)
 
         # 2) fetch the feature rows, _INFLIGHT DMAs in flight
         def row_dma(j, slot):
@@ -115,9 +117,7 @@ def _kernel(starts_ref, ends_ref, indices_ref, x_ref, out_ref,
         pos = s + jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _R), 0)
         onehot = ((pos >= starts[None, :]) & (pos < ends[None, :])
                   ).astype(jnp.float32)                     # [CHUNK, R]
-        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
-                   < n_valid).astype(jnp.float32)
-        rows = xrows_ref[:].astype(jnp.float32) * lane_ok
+        rows = xrows_ref[:].astype(jnp.float32)
         acc_ref[:] += jax.lax.dot_general(
             onehot, rows, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -140,9 +140,9 @@ def _spmm_padded(starts2d, ends2d, indices, x, *, aggr, interpret):
         num_scalar_prefetch=0,
         grid=(starts2d.shape[0],),
         in_specs=[
-            pl.BlockSpec((1, _R), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _R), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
@@ -151,7 +151,7 @@ def _spmm_padded(starts2d, ends2d, indices, x, *, aggr, interpret):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_R, D), jnp.float32),
-            pltpu.VMEM((_CHUNK,), jnp.int32),
+            pltpu.SMEM((_CHUNK,), jnp.int32),
             pltpu.VMEM((_CHUNK, D), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((_INFLIGHT,)),
@@ -190,10 +190,14 @@ def spmm_csr(indptr, indices, x, aggr: str = "mean",
     last = ip[-1]
     starts = jnp.concatenate([ip[:-1], jnp.full((pad,), last, jnp.int32)])
     ends = jnp.concatenate([ip[1:], jnp.full((pad,), last, jnp.int32)])
-    # indices padded so chunk DMAs past E stay in bounds
+    # indices padded + reshaped to aligned [_CHUNK]-wide rows (HBM DMA
+    # slices must be tile-aligned)
     idx = jnp.asarray(indices, jnp.int32)
-    idx = jnp.concatenate([idx, jnp.zeros((_CHUNK,), jnp.int32)])
-    out = _spmm_padded(starts.reshape(-1, _R), ends.reshape(-1, _R),
+    padE = (-idx.shape[0]) % _CHUNK
+    idx = jnp.concatenate([idx, jnp.zeros((padE,), jnp.int32)]
+                          ).reshape(-1, _CHUNK)
+    out = _spmm_padded(starts.reshape(-1, 1, _R),
+                       ends.reshape(-1, 1, _R),
                        idx, jnp.asarray(x), aggr=aggr, interpret=interpret)
     return out[:V]
 
@@ -228,9 +232,9 @@ def gat_csr_reference(indptr, indices, xw, a_src, a_dst,
 def _gat_kernel(starts_ref, ends_ref, adst_ref, indices_ref, xa_ref,
                 out_ref, acc_ref, m_ref, s_ref, idx_ref, xrows_ref,
                 idx_sem, row_sems, *, d: int, slope: float):
-    starts = starts_ref[0]
-    ends = ends_ref[0]
-    a_dst = adst_ref[0]                        # [R] f32
+    starts = starts_ref[0, 0]
+    ends = ends_ref[0, 0]
+    a_dst = adst_ref[0, 0]                     # [R] f32
     e0 = starts[0]
     e_end = ends[_R - 1]
 
@@ -238,15 +242,15 @@ def _gat_kernel(starts_ref, ends_ref, adst_ref, indices_ref, xa_ref,
     m_ref[:] = jnp.full((_R, 1), -jnp.inf, jnp.float32)
     s_ref[:] = jnp.zeros((_R, 1), jnp.float32)
 
-    n_chunks = pl.cdiv(e_end - e0, _CHUNK)
+    c0 = e0 // _CHUNK
+    n_chunks = pl.cdiv(e_end, _CHUNK) - c0
 
     def chunk_body(c, _):
-        s = e0 + c * _CHUNK
-        cp = pltpu.make_async_copy(indices_ref.at[pl.ds(s, _CHUNK)],
-                                   idx_ref, idx_sem)
+        row = c0 + c
+        s = row * _CHUNK
+        cp = pltpu.make_async_copy(indices_ref.at[row], idx_ref, idx_sem)
         cp.start()
         cp.wait()
-        n_valid = jnp.minimum(e_end - s, _CHUNK)
 
         def row_dma(j, slot):
             rid = idx_ref[j]
@@ -262,10 +266,7 @@ def _gat_kernel(starts_ref, ends_ref, adst_ref, indices_ref, xa_ref,
                 row_dma(nxt, nxt % _INFLIGHT).start()
 
         pos = s + jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _R), 0)
-        onehot = ((pos >= starts[None, :]) & (pos < ends[None, :]))
-        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
-                   < n_valid)
-        onehot = onehot & lane_ok                       # [CHUNK, R] bool
+        onehot = (pos >= starts[None, :]) & (pos < ends[None, :])
 
         xa = xrows_ref[:].astype(jnp.float32)           # [CHUNK, d+pad]
         a_s = xa[:, d]                                  # lane a_src term
@@ -308,9 +309,12 @@ def _gat_padded(starts2d, ends2d, adst2d, indices, xa, *, slope,
         num_scalar_prefetch=0,
         grid=(starts2d.shape[0],),
         in_specs=[
-            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
@@ -320,7 +324,7 @@ def _gat_padded(starts2d, ends2d, adst2d, indices, xa, *, slope,
             pltpu.VMEM((_R, d), jnp.float32),
             pltpu.VMEM((_R, 1), jnp.float32),
             pltpu.VMEM((_R, 1), jnp.float32),
-            pltpu.VMEM((_CHUNK,), jnp.int32),
+            pltpu.SMEM((_CHUNK,), jnp.int32),
             pltpu.VMEM((_CHUNK, Dp), xa.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((_INFLIGHT,)),
@@ -356,11 +360,13 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
     ends = jnp.concatenate([ip[1:], jnp.full((pad,), last, jnp.int32)])
     adst = jnp.concatenate([jnp.asarray(a_dst, jnp.float32),
                             jnp.zeros((pad,), jnp.float32)])
-    idx = jnp.concatenate([jnp.asarray(indices, jnp.int32),
-                           jnp.zeros((_CHUNK,), jnp.int32)])
+    idx = jnp.asarray(indices, jnp.int32)
+    padE = (-idx.shape[0]) % _CHUNK
+    idx = jnp.concatenate([idx, jnp.zeros((padE,), jnp.int32)]
+                          ).reshape(-1, _CHUNK)
     xa = jnp.concatenate([jnp.asarray(xw),
                           jnp.asarray(a_src)[:, None].astype(xw.dtype)], 1)
-    out = _gat_padded(starts.reshape(-1, _R), ends.reshape(-1, _R),
-                      adst.reshape(-1, _R), idx, xa,
+    out = _gat_padded(starts.reshape(-1, 1, _R), ends.reshape(-1, 1, _R),
+                      adst.reshape(-1, 1, _R), idx, xa,
                       slope=float(negative_slope), interpret=interpret)
     return out[:V]
