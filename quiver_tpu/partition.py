@@ -18,7 +18,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-CHUNK_SIZE = 256  # reference partition.py:12
+CHUNK_SIZE = 256  # reference QUIVER_MAGIC_NUMBER (partition.py:12)
+CHUNK_NUM = 32    # reference CHUNK_NUM (partition.py:13)
 
 __all__ = [
     "partition_without_replication",
@@ -52,12 +53,13 @@ def select_nodes(probs, ids_or_none=None):
 
 def partition_without_replication(probs, ids: Optional[np.ndarray] = None,
                                   _maybe_ids=None) -> List[np.ndarray]:
-    """Chunked greedy partition of ``ids`` over ``len(probs)`` hosts.
-
-    Per chunk of 256 ids (sorted by total access probability, densest
-    first — reference partition.py:16-80), each host scores
-    ``own_prob - sum(other_probs)``; the host with the highest score that
-    is not over-filled takes the chunk. Returns per-host id arrays.
+    """Per-NODE greedy partition of ``ids`` over ``len(probs)`` hosts
+    (same algorithm as the reference, partition.py:16-80): the id list
+    is cut into ``CHUNK_NUM`` chunks; within each chunk every node gets
+    a per-host score ``(H+1)*own_prob - total_prob``, hosts pick their
+    top ``ceil(chunk/H)`` not-yet-picked nodes in rotating priority
+    order (the start host advances every chunk), giving exact balance
+    with per-host preference. Returns per-host id arrays.
     A leading device argument (reference signature partition.py:16) is
     accepted and ignored.
     """
@@ -71,24 +73,31 @@ def partition_without_replication(probs, ids: Optional[np.ndarray] = None,
     if n == 0:
         return [np.empty(0, np.int64) for _ in range(H)]
 
-    total = np.zeros(n, np.float64)
     per_host = np.stack([p[ids] for p in probs])      # [H, n]
-    total = per_host.sum(0)
-    order = np.argsort(-total, kind="stable")
-    ids_sorted = ids[order]
-    per_host = per_host[:, order]
-
-    assigned: List[list] = [[] for _ in range(H)]
-    quota = -(-n // H)
-    for s in range(0, n, CHUNK_SIZE):
-        chunk = slice(s, min(s + CHUNK_SIZE, n))
-        gain = per_host[:, chunk].sum(1)
-        score = 2 * gain - gain.sum()                  # own - others
-        for h in np.argsort(-score):
-            if len(assigned[h]) + (chunk.stop - chunk.start) <= quota + CHUNK_SIZE:
-                assigned[h].extend(ids_sorted[chunk].tolist())
-                break
-    return [np.asarray(a, np.int64) for a in assigned]
+    res: List[list] = [[] for _ in range(H)]
+    chunk_size = -(-n // CHUNK_NUM)
+    beg_rank = 0
+    for beg in range(0, n, chunk_size):
+        end = min(n, beg + chunk_size)
+        cn = end - beg
+        tot = per_host[:, beg:end].sum(0)
+        score = (H + 1) * per_host[:, beg:end] - tot[None, :] + 1e-6
+        picked = np.zeros(cn, bool)
+        rank_size = -(-cn // H)
+        acc = 0
+        for j in range(H):
+            r = (beg_rank + j) % H
+            take = min(rank_size, cn - acc)
+            if take <= 0:
+                continue
+            sc = np.where(picked, -1e6, score[r])
+            pick = np.argsort(-sc, kind="stable")[:take]
+            picked[pick] = True
+            res[r].append(ids[beg + pick])
+            acc += take
+        beg_rank += 1
+    return [np.concatenate(r) if r else np.empty(0, np.int64)
+            for r in res]
 
 
 def partition_feature_without_replication(probs, ids=None):
