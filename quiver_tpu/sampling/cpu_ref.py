@@ -109,7 +109,13 @@ class CPUSampler:
                             adjs=tuple(reversed(blocks)))
 
     def _sample_per_hop(self, seeds: np.ndarray):
+        """Per-hop-dedup contract, fully vectorized: the threaded native
+        sampler draws the lanes, numpy sort/searchsorted does the
+        union/reindex (base frontier keeps local ids 0..f_count-1, new
+        ids get ascending-id order — same contract as the TPU path's
+        union_reindex_fused)."""
         from .sampler import Adj, SampledBatch, _layer_capacities, SENTINEL
+        from .. import native
 
         n = int(seeds.shape[0])
         bs = _bucket(n)
@@ -119,34 +125,63 @@ class CPUSampler:
         frontier[:n] = seeds
         f_count, f_cap = n, bs
         adjs = []
+        use_native = (not self.weighted) and native.available()
         for li, k in enumerate(self.sizes):
             cap = caps[li]
-            local = {int(g): i for i, g in enumerate(frontier[:f_count])}
-            out_ids = list(frontier[:f_count])
-            E = f_cap * k
-            src = np.zeros(E, np.int32)
-            dst = np.repeat(np.arange(f_cap, dtype=np.int32), k)
-            e_id = np.zeros(E, np.int64)
-            mask = np.zeros(E, bool)
-            for i in range(f_count):
-                slots = self._sample_row(int(frontier[i]), k)
-                for j, sl in enumerate(slots[:k]):
-                    g = int(self.indices[sl])
-                    if g not in local:
-                        if len(out_ids) >= cap:
-                            continue
-                        local[g] = len(out_ids)
-                        out_ids.append(g)
-                    lane = i * k + j
-                    src[lane] = local[g]
-                    e_id[lane] = sl
-                    mask[lane] = True
+            F = f_cap
+            nbr = np.zeros((F, k), np.int64)
+            e_id = np.zeros((F, k), np.int64)
+            mask = np.zeros((F, k), bool)
+            act = frontier[:f_count]
+            if use_native and f_count:
+                if self._indices32 is None:
+                    self._indices32 = np.ascontiguousarray(self.indices,
+                                                           np.int32)
+                nb, sl, mk = native.sample_rows(
+                    self.indptr, self._indices32, act, k,
+                    seed=int(self.rng.integers(2**62)))
+                nbr[:f_count], e_id[:f_count], mask[:f_count] = nb, sl, mk
+            else:
+                for i in range(f_count):
+                    slots = self._sample_row(int(act[i]), k)[:k]
+                    mask[i, :len(slots)] = True
+                    e_id[i, :len(slots)] = slots
+                    nbr[i, :len(slots)] = self.indices[slots]
+
+            base = frontier[:f_count].copy()
+            order = np.argsort(base, kind="stable")
+            base_sorted = base[order]
+            lanes = np.nonzero(mask.reshape(-1))[0]
+            cand = nbr.reshape(-1)[lanes]
+            if f_count:
+                p = np.minimum(np.searchsorted(base_sorted, cand),
+                               f_count - 1)
+                is_base = base_sorted[p] == cand
+                base_local = order[p]
+            else:
+                is_base = np.zeros(len(cand), bool)
+                base_local = np.zeros(len(cand), np.int64)
+            new_vals = np.unique(cand[~is_base])
+            n_new = min(len(new_vals), cap - f_count)
+            new_rank = f_count + np.searchsorted(new_vals, cand)
+            local = np.where(is_base, base_local, new_rank)
+            ok = is_base | (new_rank < cap)
+
+            src = np.zeros(F * k, np.int32)
+            emask = np.zeros(F * k, bool)
+            src[lanes] = np.where(ok, local, 0).astype(np.int32)
+            emask[lanes] = ok
+            dst = np.repeat(np.arange(F, dtype=np.int32), k)
+            eid_flat = np.where(emask, e_id.reshape(-1), 0)
+
+            out_count = f_count + n_new
             new_frontier = np.full((cap,), int(SENTINEL), np.int64)
-            new_frontier[:len(out_ids)] = out_ids
-            adjs.append(Adj(edge_index=np.stack([src, dst]), e_id=e_id,
-                            mask=mask, size=(cap, f_cap),
-                            counts=np.array([len(out_ids), f_count], np.int32)))
-            frontier, f_count, f_cap = new_frontier, len(out_ids), cap
+            new_frontier[:f_count] = base
+            new_frontier[f_count:out_count] = new_vals[:n_new]
+            adjs.append(Adj(edge_index=np.stack([src, dst]), e_id=eid_flat,
+                            mask=emask, size=(cap, f_cap),
+                            counts=np.array([out_count, f_count], np.int32)))
+            frontier, f_count, f_cap = new_frontier, out_count, cap
 
         return SampledBatch(n_id=frontier.astype(np.int32),
                             n_count=np.int32(f_count), batch_size=bs,
