@@ -182,7 +182,13 @@ class GCNConv(nn.Module):
         xw = nn.Dense(self.out_features, use_bias=False, name="lin")(x_src)
         inv_s = jax.lax.rsqrt(jnp.maximum(degree_src.astype(xw.dtype), 1))
         inv_d = jax.lax.rsqrt(jnp.maximum(degree_dst.astype(xw.dtype), 1))
-        if _is_dense(adj):
+        if _is_csr(adj):
+            # Full-graph block: pre/post degree scaling around the fused
+            # Pallas sum-SpMM (ops/spmm.py).
+            from ..ops.spmm import spmm_csr
+            out = spmm_csr(adj.indptr, adj.indices, xw * inv_s[:, None],
+                           aggr="sum") * inv_d[:, None]
+        elif _is_dense(adj):
             F, k = dst_cap, adj.fanout
             lanes = (xw * inv_s[:, None])[F:F + F * k].reshape(F, k, -1)
             m = adj.mask[..., None].astype(xw.dtype)

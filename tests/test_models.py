@@ -332,3 +332,31 @@ def test_full_graph_gat_csr_matches_edge_list():
     out_c = layer.apply(params, x, adj_c)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_e),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_full_graph_gcn_csr_matches_edge_list():
+    """GCNConv full-graph inference through the Pallas CSRBlock path
+    must equal the edge-list (segment) path."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.models import GCNConv
+    from quiver_tpu.models.nets import full_graph_adj
+    from quiver_tpu.ops import full_graph_csr
+
+    rng = np.random.default_rng(10)
+    V, D = 150, 8
+    deg = rng.integers(0, 5, V)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1]))
+    x = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    degree = jnp.asarray(deg.astype(np.float32) + 1)
+
+    layer = GCNConv(12)
+    adj_e = full_graph_adj(indptr, indices)
+    adj_c = full_graph_csr(indptr, indices)
+    params = layer.init(jax.random.PRNGKey(0), x, adj_e, degree)
+    out_e = layer.apply(params, x, adj_e, degree)
+    out_c = layer.apply(params, x, adj_c, degree)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_e),
+                               rtol=2e-4, atol=2e-4)
