@@ -166,6 +166,89 @@ def union_reindex_fused(base_ids, base_count, cand, cand_valid, capacity):
     return out_ids, out_count, cand_local, cand_ok
 
 
+def union_reindex_sorted_edges(base_ids, base_count, cand, cand_valid,
+                               cand_payload, k, capacity):
+    """2-sort union + reindex emitting edges in *sorted-id* order.
+
+    Saves :func:`union_reindex_fused`'s scatter-back sort (sort2) by not
+    restoring lane order at all: the per-edge outputs come out in the
+    order of the id-sort. Legal because the sampled-block contract is a
+    *set* of (src, dst, e_id) triples with a mask — no consumer (models'
+    segment aggregation, tests' set comparisons, the reference's own
+    hash-table emission order, reindex.cu.hpp:211) depends on lane
+    ordering. The destination row is recovered arithmetically from the
+    carried original position (``(pos - B) // k``) instead of by
+    inverting the permutation.
+
+    Cost: one T-length 3-payload stable sort + one T-length pair sort
+    (vs three pair sorts) — ~5/6 of the sorted bytes and one fewer
+    O(T log T) pass.
+
+    Args:
+      base_ids, base_count, cand, cand_valid, capacity: as
+        :func:`union_reindex`.
+      cand_payload: [M] int32 per-candidate payload to carry through the
+        sort (the edge id / slot); returned aligned with the edges.
+      k: static int, lanes per frontier row (``M == f_cap * k``).
+
+    Returns:
+      out_ids: [capacity] int32 unique-id table (base-prefix order, new
+        ids ascending; unused slots SENTINEL).
+      out_count: scalar int32.
+      src: [T] int32 source local id per edge slot (sorted order).
+      dst: [T] int32 destination (frontier) local id per edge slot.
+      payload: [T] int32 carried payload per edge slot.
+      emask: [T] bool valid-edge mask (~20% of slots are masked base
+        entries; the rest mirror cand_valid/capacity overflow).
+    """
+    B = base_ids.shape[0]
+    M = cand.shape[0]
+    T = B + M
+    bc = base_count.astype(jnp.int32)
+
+    base_valid = jnp.arange(B, dtype=jnp.int32) < bc
+    all_ids = jnp.concatenate([
+        jnp.where(base_valid, base_ids.astype(jnp.int32), SENTINEL),
+        jnp.where(cand_valid, cand.astype(jnp.int32), SENTINEL)])
+    pos = jnp.arange(T, dtype=jnp.int32)
+    payload_ext = jnp.concatenate([
+        jnp.zeros((B,), jnp.int32), cand_payload.astype(jnp.int32)])
+
+    s, order, payload_s = jax.lax.sort(
+        [all_ids, pos, payload_ext], num_keys=1, is_stable=True)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
+    is_head = (s != prev) & (s != SENTINEL)
+
+    hs = jax.lax.cummax(jnp.where(is_head, pos, jnp.int32(-1)))
+    head_order = order[jnp.maximum(hs, 0)]       # monotone gather: fast
+
+    is_base_run = head_order < B
+    new_head = is_head & (order >= B)
+    new_cum = jnp.cumsum(new_head.astype(jnp.int32))
+    local_sorted = jnp.where(is_base_run, head_order, bc + new_cum - 1)
+    valid_sorted = s != SENTINEL
+    local_sorted = jnp.where(valid_sorted, local_sorted, jnp.int32(T))
+
+    # Edges directly in sorted order.
+    is_cand = valid_sorted & (order >= B)
+    emask = is_cand & (local_sorted < capacity)
+    src = jnp.where(emask, local_sorted, 0)
+    dst = jnp.where(is_cand, (order - B) // k, 0)
+
+    n_new = new_cum[-1]
+    out_count = jnp.minimum(bc + n_new, jnp.int32(capacity))
+
+    key = jnp.where(is_head & (local_sorted < capacity), local_sorted,
+                    jnp.int32(T))
+    _, out_sorted = jax.lax.sort([key, s], num_keys=1)
+    take = min(capacity, T)
+    out_ids = jnp.full((capacity,), SENTINEL, dtype=jnp.int32)
+    out_ids = out_ids.at[:take].set(out_sorted[:take])
+    out_ids = jnp.where(jnp.arange(capacity, dtype=jnp.int32) < out_count,
+                        out_ids, SENTINEL)
+    return out_ids, out_count, src, dst, payload_s, emask
+
+
 def union_reindex_dense(base_ids, base_count, cand, cand_valid, capacity,
                         num_nodes):
     """O(V) scatter-based union + reindex (the fast path when the node-id

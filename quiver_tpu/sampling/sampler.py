@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.unique import union_reindex_fused, union_reindex_dense, SENTINEL
+from ..ops.unique import (union_reindex_fused, union_reindex_dense,
+                          union_reindex_sorted_edges, SENTINEL)
 from .kernels import (
     sample_adjacency,
     sample_adjacency_meta,
@@ -247,6 +248,22 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
             out_ids, out_count, cand_local, cand_ok = union_reindex_dense(
                 frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap,
                 num_nodes)
+        elif reindex is not None and reindex[li] == "sort2":
+            # 2-sort variant: edges come out in sorted-id order (the
+            # contract is a masked edge SET — order-free), saving the
+            # scatter-back sort.
+            (out_ids, out_count, src, dst, e_id,
+             emask) = union_reindex_sorted_edges(
+                frontier, f_count, nbr.reshape(-1), mask.reshape(-1),
+                slot.reshape(-1), k, cap)
+            layer_outs.append((
+                jnp.stack([src, dst]),
+                e_id,
+                emask,
+                jnp.stack([out_count, f_count]),
+            ))
+            frontier, f_count, f_cap = out_ids, out_count, cap
+            continue
         else:
             out_ids, out_count, cand_local, cand_ok = union_reindex_fused(
                 frontier, f_count, nbr.reshape(-1), mask.reshape(-1), cap)
@@ -301,9 +318,9 @@ class NeighborSampler:
         if sampling not in ("window", "exact", "packed"):
             raise ValueError("sampling must be 'window', 'exact' or "
                              f"'packed', got {sampling!r}")
-        if reindex not in ("auto", "sort", "dense"):
-            raise ValueError("reindex must be 'auto', 'sort' or 'dense', "
-                             f"got {reindex!r}")
+        if reindex not in ("auto", "sort", "sort2", "dense"):
+            raise ValueError("reindex must be 'auto', 'sort', 'sort2' or "
+                             f"'dense', got {reindex!r}")
         # GPU/UVA accepted as aliases for migration friendliness.
         self.mode = "CPU" if mode == "CPU" else "TPU"
         self.dedup = dedup
@@ -429,17 +446,18 @@ class NeighborSampler:
     def _reindex_plan(self, batch_size: int, caps) -> Tuple[str, ...]:
         """Per-layer compaction strategy for the per-hop-dedup path.
 
-        "auto" resolves to the 3-sort fused path everywhere: measured on
-        the v5e (products-scale, [15,10,5] b1024), sort-based compaction
-        runs the strict pipeline at 22.6M SEPS vs 8.1M for the O(V)
-        dense table — V-length scatter/cumsum passes are far below sort
-        throughput on this hardware (benchmarks/bench_strict.py).
-        "dense" stays available as an explicit opt-in for hardware where
-        streaming passes beat sorts.
+        "auto" resolves to the 2-sort sorted-edge-order path ("sort2",
+        ops/unique.py union_reindex_sorted_edges) everywhere: measured on
+        the v5e (products-scale, [15,10,5] b1024) it runs the strict
+        pipeline at 24.9M SEPS vs 23.5M for the 3-sort lane-order path
+        ("sort") and 8.1M for the O(V) dense table — V-length
+        scatter/cumsum passes are far below sort throughput on this
+        hardware (benchmarks/bench_strict.py). "sort" (lane-ordered
+        edges) and "dense" stay available as explicit opt-ins.
         """
         if self.reindex != "auto":
             return tuple(self.reindex for _ in self.sizes)
-        return tuple("sort" for _ in self.sizes)
+        return tuple("sort2" for _ in self.sizes)
 
     def sample(self, seeds) -> SampledBatch:
         """Sample the k-hop neighborhood of ``seeds``.

@@ -269,3 +269,49 @@ def test_gat_csr_interpret_matches_oracle():
                              jnp.asarray(a_dst))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_union_reindex_sorted_edges_matches_fused():
+    """The 2-sort variant must produce the same unique-id table and the
+    same (src_global, dst_row, payload) edge multiset as the 3-sort
+    fused version — only the emission order differs (sorted-id vs lane
+    order)."""
+    from quiver_tpu.ops import union_reindex_fused
+    from quiver_tpu.ops.unique import union_reindex_sorted_edges
+
+    rng = np.random.default_rng(7)
+    V = 300
+    for trial in range(3):
+        B, k, cap = 16, 6, 64
+        M = B * k
+        bc = rng.integers(4, B + 1)
+        base = rng.choice(V, B, replace=False).astype(np.int32)
+        cand = rng.integers(0, V, M).astype(np.int32)
+        valid = rng.random(M) > 0.3
+        payload = rng.integers(0, 10_000, M).astype(np.int32)
+
+        f = union_reindex_fused(jnp.asarray(base), jnp.int32(bc),
+                                jnp.asarray(cand), jnp.asarray(valid),
+                                capacity=cap)
+        s = union_reindex_sorted_edges(
+            jnp.asarray(base), jnp.int32(bc), jnp.asarray(cand),
+            jnp.asarray(valid), jnp.asarray(payload), k, cap)
+
+        # same table
+        assert int(f[1]) == int(s[1])
+        n = int(f[1])
+        np.testing.assert_array_equal(np.asarray(f[0])[:n],
+                                      np.asarray(s[0])[:n])
+
+        # same edge multiset in GLOBAL coordinates
+        table = np.asarray(f[0])
+        ok_f = np.asarray(f[3])
+        lanes = np.arange(M)
+        ef = sorted(zip(table[np.asarray(f[2])[ok_f]].tolist(),
+                        (lanes[ok_f] // k).tolist(),
+                        payload[ok_f].tolist()))
+        src_s, dst_s, pay_s, em_s = (np.asarray(s[2]), np.asarray(s[3]),
+                                     np.asarray(s[4]), np.asarray(s[5]))
+        es = sorted(zip(table[src_s[em_s]].tolist(), dst_s[em_s].tolist(),
+                        pay_s[em_s].tolist()))
+        assert ef == es

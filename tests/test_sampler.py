@@ -57,11 +57,14 @@ def _check_batch(batch, edges, seeds, sizes):
             assert len(ss) <= k
 
 
-@pytest.mark.parametrize("mode", ["TPU", "CPU"])
-def test_sample_subset_validity(mode):
+@pytest.mark.parametrize("mode,reindex", [("TPU", "auto"), ("TPU", "sort"),
+                                          ("TPU", "sort2"), ("TPU", "dense"),
+                                          ("CPU", "auto")])
+def test_sample_subset_validity(mode, reindex):
     topo, edges = simple_graph()
     sizes = [3, 2]
-    s = NeighborSampler(topo, sizes, mode=mode, seed=0, dedup="per_hop")
+    s = NeighborSampler(topo, sizes, mode=mode, seed=0, dedup="per_hop",
+                        reindex=reindex)
     seeds = [0, 5, 4]
     batch = s.sample(seeds)
     n_id = np.asarray(batch.n_id)
