@@ -57,21 +57,28 @@ def _force(batch):
     return float(jnp.sum(batch.adjs[0].mask.astype(jnp.int32)))
 
 
-def measure(sampler, node_count, iters=20, batch=BATCH, seed=1):
+def measure(sampler, node_count, iters=20, batch=BATCH, seed=1, repeats=3):
+    """Median SEPS over `repeats` timed batches of `iters` samples each
+    (the shared TPU transport adds multi-ms noise spikes; a median over
+    independent timing windows reports the sustained rate)."""
     rng = np.random.default_rng(seed)
     t0 = time.time()
     b = sampler.sample(np.arange(batch))
     _force(b)
     compile_s = time.time() - t0
 
-    seed_sets = [rng.integers(0, node_count, batch) for _ in range(iters)]
-    t0 = time.time()
-    batches = [sampler.sample(s) for s in seed_sets]
-    _force(batches[-1])   # device executes in order: all batches are done
-    dt = time.time() - t0
-    edges = sum(int(np.asarray(a.mask).sum()) for bb in batches
-                for a in bb.adjs)
-    return edges / dt, compile_s, edges // iters
+    rates, epb = [], 0
+    for _ in range(repeats):
+        seed_sets = [rng.integers(0, node_count, batch) for _ in range(iters)]
+        t0 = time.time()
+        batches = [sampler.sample(s) for s in seed_sets]
+        _force(batches[-1])   # device executes in order: all are done
+        dt = time.time() - t0
+        edges = sum(int(np.asarray(a.mask).sum()) for bb in batches
+                    for a in bb.adjs)
+        rates.append(edges / dt)
+        epb = edges // iters
+    return sorted(rates)[len(rates) // 2], compile_s, epb
 
 
 def main():

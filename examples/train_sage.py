@@ -3,10 +3,13 @@ examples/pyg/reddit_quiver.py:24-123 flow, TPU-native).
 
 Usage:
   python examples/train_sage.py --dataset synthetic [--epochs 3]
-  python examples/train_sage.py --nodes 100000 --edges 2000000
+  python examples/train_sage.py --dataset /data/ogbn-products   # OGB dir
+  python examples/train_sage.py --dataset /data/products.npz    # artifact
 
-With no public-dataset egress in this environment, the default dataset
-is a planted-community graph whose labels are learnable from structure
+``--dataset <path>`` loads a real OGB-format directory or a saved
+``quiver_tpu.datasets`` npz artifact (no ogb package needed). With no
+public-dataset egress in this environment, the default dataset is a
+planted-community graph whose labels are learnable from structure
 + features, so accuracy is a real end-to-end signal.
 """
 from __future__ import annotations
@@ -65,14 +68,20 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    topo, feat, labels = community_graph(rng, args.nodes, args.deg)
-    n = topo.node_count
+    if args.dataset == "synthetic":
+        topo, feat, labels = community_graph(rng, args.nodes, args.deg)
+        n = topo.node_count
+        train_idx = rng.permutation(n)[: int(0.8 * n)]
+        test_idx = np.setdiff1d(np.arange(n), train_idx)
+    else:
+        from quiver_tpu.datasets import load_dataset
+        ds = load_dataset(args.dataset)
+        topo, feat, labels = ds.topo, ds.feat, ds.labels
+        n = topo.node_count
+        train_idx, test_idx = ds.train_idx, ds.test_idx
     classes = int(labels.max()) + 1
     print(f"graph: {n} nodes, {topo.edge_count} edges, {classes} classes, "
           f"devices={jax.devices()}")
-
-    train_idx = rng.permutation(n)[: int(0.8 * n)]
-    test_idx = np.setdiff1d(np.arange(n), train_idx)
 
     sampler = NeighborSampler(topo, args.fanout, mode="TPU", seed=0)
     model = GraphSAGE(hidden_features=args.hidden, out_features=classes,

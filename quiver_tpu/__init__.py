@@ -12,6 +12,7 @@ from .utils import (CSRTopo, parse_size, reindex_by_config,
 
 # Reference-compat alias (reference exports `p2pCliqueTopo`, __init__.py:2-11)
 p2pCliqueTopo = Topo
+from . import datasets  # noqa: E402  (OGB-format loaders, no ogb dep)
 from .sampling import (
     NeighborSampler,
     SampledBatch,

@@ -219,13 +219,44 @@ def union_reindex_sorted_edges(base_ids, base_count, cand, cand_valid,
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
     is_head = (s != prev) & (s != SENTINEL)
 
-    hs = jax.lax.cummax(jnp.where(is_head, pos, jnp.int32(-1)))
-    head_order = order[jnp.maximum(hs, 0)]       # monotone gather: fast
+    # Per-element run-head info (is the run's id already in base, and if
+    # so at which local id) plus the new-head prefix count. Default: one
+    # fused linear Pallas pass (ops/scan_kernels.py). Fallback (env
+    # QUIVER_TPU_NO_PALLAS_SCAN=1): XLA scans — the head value is
+    # forward-filled by cummax over (sorted_index << w | value_bits)
+    # packed int32s (the monotone index makes "max so far" mean "most
+    # recent head"), the value split across as few cummaxes as fit
+    # beside the index bits.
+    import os
+    ti = max((T - 1).bit_length(), 1)
+    vb = max(B.bit_length(), 1)          # value range [0, B]
+    if not os.environ.get("QUIVER_TPU_NO_PALLAS_SCAN"):
+        from .scan_kernels import fused_dedup_scan
+        headval, new_cum = fused_dedup_scan(s, order, B=B)
+    elif 31 - ti >= 1:
+        avail = 31 - ti
+        nspl = -(-vb // avail)
+        w = -(-vb // nspl)
+        i32 = jnp.arange(T, dtype=jnp.int32)
+        val = jnp.where(order < B, order, jnp.int32(B))
+        headval = jnp.zeros((T,), jnp.int32)
+        for p in range(nspl):
+            vp = (val >> (p * w)) & ((1 << w) - 1)
+            c = jax.lax.cummax(
+                jnp.where(is_head, (i32 << w) | vp, jnp.int32(-1)))
+            headval = headval | ((c & ((1 << w) - 1)) << (p * w))
+        new_cum = None
+    else:  # enormous T: fall back to the gather
+        hs = jax.lax.cummax(jnp.where(is_head, pos, jnp.int32(-1)))
+        ho = order[jnp.maximum(hs, 0)]
+        headval = jnp.where(ho < B, ho, jnp.int32(B))
+        new_cum = None
 
-    is_base_run = head_order < B
+    is_base_run = headval < B
     new_head = is_head & (order >= B)
-    new_cum = jnp.cumsum(new_head.astype(jnp.int32))
-    local_sorted = jnp.where(is_base_run, head_order, bc + new_cum - 1)
+    if new_cum is None:
+        new_cum = jnp.cumsum(new_head.astype(jnp.int32))
+    local_sorted = jnp.where(is_base_run, headval, bc + new_cum - 1)
     valid_sorted = s != SENTINEL
     local_sorted = jnp.where(valid_sorted, local_sorted, jnp.int32(T))
 
@@ -238,12 +269,20 @@ def union_reindex_sorted_edges(base_ids, base_count, cand, cand_valid,
     n_new = new_cum[-1]
     out_count = jnp.minimum(bc + n_new, jnp.int32(capacity))
 
-    key = jnp.where(is_head & (local_sorted < capacity), local_sorted,
-                    jnp.int32(T))
-    _, out_sorted = jax.lax.sort([key, s], num_keys=1)
-    take = min(capacity, T)
-    out_ids = jnp.full((capacity,), SENTINEL, dtype=jnp.int32)
-    out_ids = out_ids.at[:take].set(out_sorted[:take])
+    # Table: base prefix is the (unchanged) previous table; only the NEW
+    # unique ids need appending, in ascending order — which is exactly
+    # their order in ``s``. A 1-column masked sort compacts them to the
+    # front, and a dynamic_update_slice places the block at offset bc
+    # (cheaper than the old 2-column extraction sort).
+    newkey = jnp.where(new_head & (local_sorted < capacity), s,
+                       jnp.int32(SENTINEL))
+    new_sorted = jax.lax.sort([newkey], num_keys=1)[0]
+    L = min(capacity, T)
+    buf = jnp.full((capacity + L,), SENTINEL, dtype=jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, base_ids.astype(jnp.int32),
+                                       (0,))
+    buf = jax.lax.dynamic_update_slice(buf, new_sorted[:L], (bc,))
+    out_ids = buf[:capacity]
     out_ids = jnp.where(jnp.arange(capacity, dtype=jnp.int32) < out_count,
                         out_ids, SENTINEL)
     return out_ids, out_count, src, dst, payload_s, emask

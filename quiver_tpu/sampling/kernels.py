@@ -118,13 +118,16 @@ _WINDOW_LANES = 128  # block width of the 2-D adjacency layout
 
 
 def build_window_layout(indptr, indices, k_max: int):
-    """Host-side prep for window sampling: the adjacency as a 2-D
-    [blocks, 128] int32 array plus a per-node meta table [V, 8]
+    """Host-side prep for window sampling: the adjacency as an
+    OVERLAPPED 2-D [blocks, 128] int32 array (block row r covers flat
+    slots [r*S, r*S + 128) with stride S = 128 - k_max, so consecutive
+    rows overlap by k_max lanes) plus a per-node meta table [V, 8]
     (lane 0 = row start slot, lane 1 = degree).
 
-    Replaces per-element CSR pointers with TPU-friendly shapes: one
-    row-gather of ``meta`` gives start+degree, two row-gathers of the
-    block array cover any k<=114 contiguous window.
+    The overlap guarantees any k<=k_max contiguous window lives inside
+    ONE block row: one row-gather per frontier node instead of two —
+    half the gather descriptors and half the select width — for a
+    128/S ~= 1.13x memory overhead at k_max=15.
     """
     import numpy as np
     indptr = np.asarray(indptr, np.int64)
@@ -132,9 +135,13 @@ def build_window_layout(indptr, indices, k_max: int):
     V = indptr.shape[0] - 1
     E = indices.shape[0]
     W = _WINDOW_LANES
-    blocks = (E + 2 * W) // W + 1
-    ind2d = np.zeros((blocks, W), np.int32)
-    ind2d.reshape(-1)[:E] = indices
+    S = W - int(k_max)
+    assert 1 <= S < W, f"k_max {k_max} out of range for window layout"
+    blocks = max((E + S - 1) // S, 1)
+    flat = np.zeros(((blocks - 1) * S + W,), np.int32)
+    flat[:E] = indices
+    ind2d = np.lib.stride_tricks.as_strided(
+        flat, shape=(blocks, W), strides=(S * 4, 4)).copy()
     meta = np.zeros((V, 8), np.int32)
     meta[:, 0] = indptr[:-1]
     meta[:, 1] = (indptr[1:] - indptr[:-1])
@@ -154,7 +161,7 @@ def _select_window(rows, rel, k: int):
 
 
 def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
-                            k: int, key):
+                            k: int, key, k_max: int = None):
     """Contiguous-window fanout-k sampling over PRE-SHUFFLED rows.
 
     The TPU-native answer to the warp-per-row reservoir kernel's memory
@@ -163,8 +170,10 @@ def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
     128-lane *row* gathers cost the same per descriptor. So: each row's
     neighbor order is randomly permuted once at load time
     (``native.shuffle_rows``), the window start is uniform in
-    [0, deg-k], and the k *consecutive* neighbors are read with two
-    block-row gathers + an in-register select.
+    [0, deg-k], and the k *consecutive* neighbors are read with ONE
+    overlapped block-row gather + an in-register select (the layout's
+    rows overlap by k_max lanes so any window fits one row — see
+    :func:`build_window_layout`).
 
     Distribution: per-POSITION probabilities are slightly edge-biased
     (no wraparound), but positions hold a random permutation of the
@@ -172,11 +181,14 @@ def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
     re-shuffle between epochs to refresh the window family. The
     ``exact`` strategy (Floyd) keeps unrestricted k-subsets.
 
-    Same output contract as :func:`sample_adjacency`; requires
-    k <= 114 (window must fit two 128-lane blocks).
+    Same output contract as :func:`sample_adjacency`. ``k_max`` must be
+    the value the layout was built with (defaults to k).
     """
     W = _WINDOW_LANES
-    assert k <= W - 14, f"fanout {k} too large for window sampling"
+    if k_max is None:
+        k_max = k
+    assert k <= k_max <= W - 14, f"fanout {k} > layout k_max {k_max}"
+    S = W - k_max
     N = frontier.shape[0]
     V = meta.shape[0]
     f = jnp.clip(frontier.astype(jnp.int32), 0, V - 1)
@@ -189,14 +201,13 @@ def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
     off = jnp.minimum((u * span).astype(jnp.int32),
                       jnp.maximum(deg - k, 0))
     s = start + off
-    g = s // W
+    g = s // S
     G = ind2d.shape[0]
-    gg = jnp.stack([jnp.clip(g, 0, G - 1), jnp.clip(g + 1, 0, G - 1)], 1)
-    rows = jnp.take(ind2d, gg.reshape(-1), axis=0).reshape(N, 2 * W)
-    rel = s % W
-    # rel < W, so the window lives in columns [0, W+k): narrow before the
-    # per-lane selects to nearly halve their traffic.
-    nbr = _select_window(rows[:, :W + k], rel, k).astype(jnp.int32)
+    rows = jnp.take(ind2d, jnp.clip(g, 0, G - 1), axis=0)   # [N, W]
+    rel = s % S
+    # rel < S, so the window lives in columns [0, S+k): narrow before
+    # the per-lane selects to trim their traffic.
+    nbr = _select_window(rows[:, :S + k], rel, k).astype(jnp.int32)
 
     j = jnp.arange(k, dtype=jnp.int32)[None, :]
     mask = (j < jnp.minimum(deg, k)[:, None]) & frontier_valid[:, None]

@@ -60,6 +60,21 @@ def _sample_exact(indptr, indices, frontier, f_valid, k, key):
     return sample_adjacency(indptr, indices, frontier, f_valid, k, key)
 
 
+def _chunked_put(arr, device=None, chunk_bytes=64 << 20):
+    """device_put in <=64MB row chunks (single very large transfers have
+    wedged the remote-TPU transport; concatenation happens on device)."""
+    import numpy as np
+    arr = np.asarray(arr)
+    if arr.nbytes <= chunk_bytes or arr.ndim == 0:
+        return jax.device_put(jnp.asarray(arr), device=device)
+    rows = max(1, chunk_bytes // max(arr[0:1].nbytes, 1))
+    parts = [jax.device_put(jnp.asarray(arr[i:i + rows]), device=device)
+             for i in range(0, arr.shape[0], rows)]
+    out = jnp.concatenate(parts, axis=0)
+    out.block_until_ready()
+    return out
+
+
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=("edge_index", "e_id", "mask", "counts"),
                    meta_fields=("size",))
@@ -171,7 +186,7 @@ def _sample_layers_dense(indptr, indices, edge_table, seeds, seed_count, key, *,
         elif window:
             meta, ind2d = indices
             nbr, mask, slot = sample_adjacency_window(
-                meta, ind2d, frontier, f_valid, k, sub)
+                meta, ind2d, frontier, f_valid, k, sub, k_max=max(sizes))
         else:
             nbr, mask, slot = _sample_exact(
                 indptr, indices, frontier, f_valid, k, sub)
@@ -238,7 +253,7 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
         elif window:
             meta, ind2d = indices
             nbr, mask, slot = sample_adjacency_window(
-                meta, ind2d, frontier, f_valid, k, sub)
+                meta, ind2d, frontier, f_valid, k, sub, k_max=max(sizes))
         else:
             nbr, mask, slot = _sample_exact(
                 indptr, indices, frontier, f_valid, k, sub)
@@ -362,7 +377,7 @@ class NeighborSampler:
                     csr_topo.indptr, shuffled, max(self.sizes))
                 # the (meta, ind2d) pair plays the role of `indices`
                 self.indices = (put(jnp.asarray(meta)),
-                                put(jnp.asarray(ind2d)))
+                                _chunked_put(ind2d, device))
             elif self.sampling == "packed":
                 shuffled, self.shuffle_eid = self._shuffled_indices(
                     csr_topo, seed)
@@ -404,7 +419,8 @@ class NeighborSampler:
         if self.sampling == "window":
             ind2d, meta = build_window_layout(
                 self.csr_topo.indptr, shuffled, max(self.sizes))
-            self.indices = (put(jnp.asarray(meta)), put(jnp.asarray(ind2d)))
+            self.indices = (put(jnp.asarray(meta)),
+                            _chunked_put(ind2d, self.device))
         else:
             packed2d, seed_meta = build_packed_layout(
                 self.csr_topo.indptr, shuffled)
