@@ -47,8 +47,8 @@ def _ff_combine(has, val, h2, v2):
     return jnp.maximum(has, h2), jnp.where(has > 0, val, v2)
 
 
-def _dedup_scan_kernel(s_ref, order_ref, hv_ref, nc_ref, carry,
-                       *, B, sentinel, rows):
+def _dedup_scan_kernel(bc_ref, s_ref, order_ref, src_ref, em_ref, nk_ref,
+                       nnew_ref, carry, *, B, capacity, sentinel, rows):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -96,10 +96,11 @@ def _dedup_scan_kernel(s_ref, order_ref, hv_ref, nc_ref, carry,
     ex_has, ex_v = _ff_combine(ex_has, ex_v,
                                jnp.minimum(c_has, 1), c_val)
     has, v = _ff_combine(has, v, ex_has, ex_v)
-    hv_ref[...] = jnp.where(has > 0, v, B)
+    hv = jnp.where(has > 0, v, B)
 
     # -- inclusive cumsum of new heads (+ global carry)
-    nh = (is_head & (order >= B)).astype(jnp.int32)
+    new_head = is_head & (order >= B)
+    nh = new_head.astype(jnp.int32)
     t = 1
     while t < LANES:
         nh = nh + _shift_right(nh, t, 1, 0)
@@ -110,13 +111,25 @@ def _dedup_scan_kernel(s_ref, order_ref, hv_ref, nc_ref, carry,
         row_sum = row_sum + _shift_right(row_sum, t, 0, 0)
         t *= 2
     nh = nh + _shift_right(row_sum, 1, 0, 0) + c_sum
-    nc_ref[...] = nh
+
+    # -- postprocess, fused (saves separate XLA passes over T):
+    # local id per element, edge mask, src, extraction key
+    bc = bc_ref[0]
+    local = jnp.where(hv < B, hv, bc + nh - 1)
+    valid = s != sentinel
+    in_cap = local < capacity
+    is_cand = valid & (order >= B)
+    emask = is_cand & in_cap
+    src_ref[...] = jnp.where(emask, local, 0)
+    em_ref[...] = emask.astype(jnp.int32)
+    nk_ref[...] = jnp.where(new_head & in_cap, s, sentinel)
 
     last_has = has[rows - 1, LANES - 1]
     carry[0] = jnp.maximum(c_has, last_has)
     carry[1] = jnp.where(last_has > 0, v[rows - 1, LANES - 1], c_val)
     carry[2] = nh[rows - 1, LANES - 1]
     carry[3] = s[rows - 1, LANES - 1]
+    nnew_ref[0] = carry[2]
 
 
 def _use_compiled() -> bool:
@@ -125,21 +138,28 @@ def _use_compiled() -> bool:
             or "TPU" in str(getattr(d, "device_kind", "")))
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def fused_dedup_scan(s, order, *, B: int):
-    """One-pass (headval, new_cum) over the sorted id array.
+@functools.partial(jax.jit, static_argnames=("B", "capacity"))
+def fused_dedup_postprocess(s, order, bc, *, B: int, capacity: int):
+    """One linear pass over the sorted id array: run-head forward-fill,
+    new-head counting, local-id assignment and edge masking.
 
     Args:
       s: [T] int32 ids sorted ascending (SENTINEL-padded tail).
-      order: [T] int32 original position of each sorted element.
-      B: static base (frontier) slot count; ``order < B`` marks a base
-        element.
+      order: [T] int32 original position of each sorted element
+        (< B = base/frontier slot, >= B = candidate lane B + lane).
+      bc: dynamic int32 scalar — valid base count (base local ids are
+        0..bc-1; new ids get bc, bc+1, ... in ascending-id order).
+      B: static base slot count.
+      capacity: static output-table capacity (overflow edges masked).
 
     Returns:
-      headval: [T] int32 — per element, its run head's base local id, or
-        B if the run's id is not in the base (also B before any head).
-      new_cum: [T] int32 — inclusive count of new-run heads up to and
-        including each element.
+      src: [T] int32 local id per edge slot (0 where masked).
+      emask: [T] bool — element is a valid candidate edge within
+        capacity.
+      newkey: [T] int32 — the element's id at new-run heads within
+        capacity, SENTINEL elsewhere (sort once to compact the new
+        unique ids, ascending).
+      n_new: scalar int32 — total number of new unique ids.
     """
     from .unique import SENTINEL
 
@@ -156,17 +176,27 @@ def fused_dedup_scan(s, order, *, B: int):
     o2 = order.reshape(grid * ROWS, LANES)
 
     kernel = functools.partial(_dedup_scan_kernel, B=np.int32(B),
+                               capacity=np.int32(capacity),
                                sentinel=np.int32(SENTINEL), rows=ROWS)
-    hv, nc = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0)),
-                  pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))],
-        out_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0)),
-                   pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((grid * ROWS, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((grid * ROWS, LANES), jnp.int32)],
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda i, bc: (i, 0)),
+                  pl.BlockSpec((ROWS, LANES), lambda i, bc: (i, 0))],
+        out_specs=[pl.BlockSpec((ROWS, LANES), lambda i, bc: (i, 0)),
+                   pl.BlockSpec((ROWS, LANES), lambda i, bc: (i, 0)),
+                   pl.BlockSpec((ROWS, LANES), lambda i, bc: (i, 0)),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+    )
+    src, em, nk, nnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((grid * ROWS, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((grid * ROWS, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((grid * ROWS, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=not _use_compiled(),
-    )(s2, o2)
-    return hv.reshape(-1)[:T], nc.reshape(-1)[:T]
+    )(jnp.reshape(bc.astype(jnp.int32), (1,)), s2, o2)
+    return (src.reshape(-1)[:T], em.reshape(-1)[:T] > 0,
+            nk.reshape(-1)[:T], nnew[0])

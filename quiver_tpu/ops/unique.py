@@ -228,45 +228,46 @@ def union_reindex_sorted_edges(base_ids, base_count, cand, cand_valid,
     # recent head"), the value split across as few cummaxes as fit
     # beside the index bits.
     import os
-    ti = max((T - 1).bit_length(), 1)
-    vb = max(B.bit_length(), 1)          # value range [0, B]
     if not os.environ.get("QUIVER_TPU_NO_PALLAS_SCAN"):
-        from .scan_kernels import fused_dedup_scan
-        headval, new_cum = fused_dedup_scan(s, order, B=B)
-    elif 31 - ti >= 1:
-        avail = 31 - ti
-        nspl = -(-vb // avail)
-        w = -(-vb // nspl)
-        i32 = jnp.arange(T, dtype=jnp.int32)
-        val = jnp.where(order < B, order, jnp.int32(B))
-        headval = jnp.zeros((T,), jnp.int32)
-        for p in range(nspl):
-            vp = (val >> (p * w)) & ((1 << w) - 1)
-            c = jax.lax.cummax(
-                jnp.where(is_head, (i32 << w) | vp, jnp.int32(-1)))
-            headval = headval | ((c & ((1 << w) - 1)) << (p * w))
-        new_cum = None
-    else:  # enormous T: fall back to the gather
-        hs = jax.lax.cummax(jnp.where(is_head, pos, jnp.int32(-1)))
-        ho = order[jnp.maximum(hs, 0)]
-        headval = jnp.where(ho < B, ho, jnp.int32(B))
-        new_cum = None
+        from .scan_kernels import fused_dedup_postprocess
+        src, emask, newkey, n_new = fused_dedup_postprocess(
+            s, order, bc, B=B, capacity=capacity)
+        dst = jnp.where(emask, (order - B) // k, 0)
+    else:
+        ti = max((T - 1).bit_length(), 1)
+        vb = max(B.bit_length(), 1)      # value range [0, B]
+        if 31 - ti >= 1:
+            avail = 31 - ti
+            nspl = -(-vb // avail)
+            w = -(-vb // nspl)
+            i32 = jnp.arange(T, dtype=jnp.int32)
+            val = jnp.where(order < B, order, jnp.int32(B))
+            headval = jnp.zeros((T,), jnp.int32)
+            for p in range(nspl):
+                vp = (val >> (p * w)) & ((1 << w) - 1)
+                c = jax.lax.cummax(
+                    jnp.where(is_head, (i32 << w) | vp, jnp.int32(-1)))
+                headval = headval | ((c & ((1 << w) - 1)) << (p * w))
+        else:  # enormous T: fall back to the gather
+            hs = jax.lax.cummax(jnp.where(is_head, pos, jnp.int32(-1)))
+            ho = order[jnp.maximum(hs, 0)]
+            headval = jnp.where(ho < B, ho, jnp.int32(B))
 
-    is_base_run = headval < B
-    new_head = is_head & (order >= B)
-    if new_cum is None:
+        is_base_run = headval < B
+        new_head = is_head & (order >= B)
         new_cum = jnp.cumsum(new_head.astype(jnp.int32))
-    local_sorted = jnp.where(is_base_run, headval, bc + new_cum - 1)
-    valid_sorted = s != SENTINEL
-    local_sorted = jnp.where(valid_sorted, local_sorted, jnp.int32(T))
+        local_sorted = jnp.where(is_base_run, headval, bc + new_cum - 1)
+        valid_sorted = s != SENTINEL
+        local_sorted = jnp.where(valid_sorted, local_sorted, jnp.int32(T))
 
-    # Edges directly in sorted order.
-    is_cand = valid_sorted & (order >= B)
-    emask = is_cand & (local_sorted < capacity)
-    src = jnp.where(emask, local_sorted, 0)
-    dst = jnp.where(is_cand, (order - B) // k, 0)
+        is_cand = valid_sorted & (order >= B)
+        emask = is_cand & (local_sorted < capacity)
+        src = jnp.where(emask, local_sorted, 0)
+        dst = jnp.where(is_cand, (order - B) // k, 0)
+        n_new = new_cum[-1]
+        newkey = jnp.where(new_head & (local_sorted < capacity), s,
+                           jnp.int32(SENTINEL))
 
-    n_new = new_cum[-1]
     out_count = jnp.minimum(bc + n_new, jnp.int32(capacity))
 
     # Table: base prefix is the (unchanged) previous table; only the NEW
@@ -274,8 +275,6 @@ def union_reindex_sorted_edges(base_ids, base_count, cand, cand_valid,
     # their order in ``s``. A 1-column masked sort compacts them to the
     # front, and a dynamic_update_slice places the block at offset bc
     # (cheaper than the old 2-column extraction sort).
-    newkey = jnp.where(new_head & (local_sorted < capacity), s,
-                       jnp.int32(SENTINEL))
     new_sorted = jax.lax.sort([newkey], num_keys=1)[0]
     L = min(capacity, T)
     buf = jnp.full((capacity + L,), SENTINEL, dtype=jnp.int32)

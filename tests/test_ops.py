@@ -315,3 +315,54 @@ def test_union_reindex_sorted_edges_matches_fused():
         es = sorted(zip(table[src_s[em_s]].tolist(), dst_s[em_s].tolist(),
                         pay_s[em_s].tolist()))
         assert ef == es
+
+
+def test_fused_dedup_postprocess_matches_oracle():
+    """The Pallas sequential-scan kernel (ops/scan_kernels.py) against a
+    python oracle, on a T spanning multiple 32k grid blocks so the SMEM
+    carries (head value, new count, previous id) cross block borders."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops.scan_kernels import fused_dedup_postprocess
+    from quiver_tpu.ops.unique import SENTINEL
+
+    rng = np.random.default_rng(3)
+    B, M = 4096, 70000
+    T = B + M
+    cap = 30000
+    ids = rng.integers(0, 20000, T).astype(np.int32)
+    ids = np.where(rng.random(T) > 0.15, ids, SENTINEL)
+    pos = np.arange(T, dtype=np.int32)
+    o = np.lexsort((pos, ids))
+    s, order = ids[o], pos[o].astype(np.int32)
+    bc = 3000
+
+    src, emask, newkey, n_new = fused_dedup_postprocess(
+        jnp.asarray(s), jnp.asarray(order), jnp.int32(bc), B=B,
+        capacity=cap)
+    src, emask, newkey = map(np.asarray, (src, emask, newkey))
+
+    prev = np.concatenate([[-1], s[:-1]])
+    is_head = (s != prev) & (s != SENTINEL)
+    last, seen, c = B, False, 0
+    osrc = np.zeros(T, np.int64)
+    oem = np.zeros(T, bool)
+    onk = np.full(T, SENTINEL, np.int64)
+    for i in range(T):
+        if is_head[i]:
+            last = order[i] if order[i] < B else B
+            seen = True
+            if order[i] >= B:
+                c += 1
+        hv = last if seen else B
+        local = hv if hv < B else bc + c - 1
+        valid = s[i] != SENTINEL
+        in_cap = local < cap
+        if valid and order[i] >= B and in_cap:
+            oem[i] = True
+            osrc[i] = local
+        if is_head[i] and order[i] >= B and in_cap:
+            onk[i] = s[i]
+    assert int(n_new) == c
+    np.testing.assert_array_equal(emask, oem)
+    np.testing.assert_array_equal(src, osrc)
+    np.testing.assert_array_equal(newkey, onk)
