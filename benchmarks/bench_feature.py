@@ -69,9 +69,10 @@ def bench_device(table, cw, label, iters=ITERS):
     return gb / dt
 
 
-def bench_mixed(feat_store, w, iters=ITERS):
+def bench_mixed(feat_store, w, iters=ITERS, prefetch=False, label=""):
     """The honest number: ids drawn from the power-law ACCESS
-    distribution over the full id space, through Feature.__getitem__."""
+    distribution over the full id space, through Feature.__getitem__.
+    ``prefetch`` overlaps batch i+1's host gather with batch i."""
     rng = np.random.default_rng(1)
     cw = np.cumsum(w / w.sum())
     id_sets = [np.searchsorted(cw, rng.random(BATCH_IDS)).clip(0, N - 1)
@@ -80,12 +81,19 @@ def bench_mixed(feat_store, w, iters=ITERS):
     force(out)
     feat_store.stats = {k: 0 for k in feat_store.stats}
     t0 = time.time()
-    outs = [feat_store[ids] for ids in id_sets]
+    outs = []
+    if prefetch:
+        feat_store.prefetch(id_sets[0])
+    for i, ids in enumerate(id_sets):
+        out = feat_store[ids]
+        if prefetch and i + 1 < len(id_sets):
+            feat_store.prefetch(id_sets[i + 1])
+        outs.append(out)
     force(outs[-1])
     dt = time.time() - t0
     gb = iters * BATCH_IDS * D * 4 / 1e9
     hit = feat_store.cache_hit_rate()
-    print(f"mixed 20% cache through Feature: {gb/dt:.2f} GB/s "
+    print(f"mixed 20% cache through Feature{label}: {gb/dt:.2f} GB/s "
           f"(hit rate {hit:.3f})", file=sys.stderr)
     return gb / dt, hit
 
@@ -118,6 +126,12 @@ def main():
     store = Feature(device_cache_size=budget)
     store.from_cpu_tensor(feat, access_prob=w)
     mixed, hit = bench_mixed(store, w)
+    mixed_pf, _ = bench_mixed(store, w, prefetch=True, label=" +prefetch")
+    store16 = Feature(device_cache_size=budget,
+                      cold_transfer_dtype=np.float16)
+    store16.from_cpu_tensor(feat, access_prob=w)
+    mixed16, _ = bench_mixed(store16, w, prefetch=True,
+                             label=" +prefetch+f16-transfer")
 
     cw_full = jnp.asarray(np.cumsum(w / w.sum()), jnp.float32)
     table = jnp.asarray(feat)
@@ -132,13 +146,24 @@ def main():
 
     h2d = bench_h2d()
 
+    # roofline attribution: every miss row crosses the host->device
+    # link, so mixed <= h2d / miss_fraction (the reference's misses ride
+    # PCIe zero-copy at tens of GB/s; on this environment the link is a
+    # network tunnel — the design is link-bound either way, so report
+    # the ceiling next to the measurement).
+    miss = max(1.0 - hit, 1e-9)
     print(f"reference baselines: 14.82 GB/s (1 GPU, 20% cache), "
           f"108.6 GB/s (2-GPU NVLink); CPU 1.27 GB/s", file=sys.stderr)
+    print(f"H2D-bound mixed ceiling on this link: {h2d/miss:.2f} GB/s "
+          f"(h2d {h2d:.2f} / miss {miss:.3f})", file=sys.stderr)
     print(json.dumps({"mixed_20pct_gbs": round(mixed, 2),
+                      "mixed_prefetch_gbs": round(mixed_pf, 2),
+                      "mixed_prefetch_f16_gbs": round(mixed16, 2),
                       "mixed_hit_rate": round(hit, 3),
                       "hbm_gather_gbs": round(full, 2),
                       "hot_tier_gbs": round(hot_gbs, 2),
-                      "h2d_gbs": round(h2d, 2)}))
+                      "h2d_gbs": round(h2d, 2),
+                      "h2d_bound_mixed_ceiling_gbs": round(h2d/miss, 2)}))
 
 
 if __name__ == "__main__":

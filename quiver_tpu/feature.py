@@ -80,9 +80,15 @@ class Feature:
 
     def __init__(self, rank=0, device_list=None, device_cache_size=0,
                  cache_policy="device_replicate", csr_topo: CSRTopo = None,
-                 mesh=None):
+                 mesh=None, cold_transfer_dtype=None):
         if cache_policy not in ("device_replicate", "p2p_clique_replicate"):
             raise ValueError(f"unknown cache_policy {cache_policy!r}")
+        # Optional narrow dtype (e.g. np.float16 / ml_dtypes.bfloat16)
+        # for the host->device hop of cold-miss rows: halves the
+        # bandwidth-critical transfer, the analogue of the reference's
+        # fp16 ShardTensor storage (quiver_feature.cu:263-267). Values
+        # are widened back to the table dtype on device.
+        self.cold_transfer_dtype = cold_transfer_dtype
         self.rank = rank
         self.device_list = device_list or []
         self.device_cache_size = device_cache_size
@@ -103,6 +109,8 @@ class Feature:
         # we track live counters instead)
         self.stats = {"lookups": 0, "hot_hits": 0, "cold_hits": 0,
                       "disk_hits": 0}
+        self._pf = None                 # (ids, future) of a prefetch
+        self._pf_pool = None
 
     # -- construction -----------------------------------------------------
     def from_cpu_tensor(self, tensor, access_prob=None) -> "Feature":
@@ -205,7 +213,29 @@ class Feature:
     def _bucket(n: int) -> int:
         return 1 << (n - 1).bit_length() if n > 1 else 1
 
+    def prefetch(self, n_id) -> None:
+        """Start the host-side work of a future ``self[n_id]`` on a
+        background thread: the cold/disk gather for batch i+1 overlaps
+        batch i's device compute (the stream-overlap the reference gets
+        from CUDA async memcpy). ``__getitem__`` with the same ids
+        consumes the result; different ids fall through to a normal
+        lookup."""
+        import concurrent.futures
+        if self._pf_pool is None:
+            self._pf_pool = concurrent.futures.ThreadPoolExecutor(1)
+        key = np.asarray(n_id)
+        self._pf = (key, self._pf_pool.submit(self._lookup, key))
+
     def __getitem__(self, n_id):
+        if self._pf is not None:
+            key, fut = self._pf
+            self._pf = None
+            if np.array_equal(key, np.asarray(n_id)):
+                return fut.result()
+            fut.cancel()
+        return self._lookup(n_id)
+
+    def _lookup(self, n_id):
         """Gather rows by *global* node id: hot tier on device, cold tier
         from host RAM, optional disk tier from mmap (reference
         __getitem__ feature.py:296-333 / the single multi-tier kernel
@@ -274,8 +304,9 @@ class Feature:
         cap = self._bucket(n_cold)
         pad_pos = np.full(cap, m, np.int32)
         pad_pos[:n_cold] = miss_pos
-        pad_vals = np.zeros((cap,) + cold_vals.shape[1:], cold_vals.dtype)
-        pad_vals[:n_cold] = cold_vals
+        tdt = self.cold_transfer_dtype or cold_vals.dtype
+        pad_vals = np.zeros((cap,) + cold_vals.shape[1:], tdt)
+        pad_vals[:n_cold] = cold_vals.astype(tdt)
         return _scatter_cold(out, jnp.asarray(pad_pos), jnp.asarray(pad_vals))
 
     def cache_hit_rate(self) -> float:

@@ -297,3 +297,46 @@ def test_dist_feature_exchange_with_replicate():
         np.testing.assert_allclose(np.asarray(outs[h]),
                                    feat[ids_per_host[h]], rtol=1e-6,
                                    err_msg=f"host {h}")
+
+
+def test_cold_transfer_dtype_halves_bytes_keeps_values():
+    """cold_transfer_dtype=float16 narrows only the H2D hop of miss
+    rows (reference stores fp16 ShardTensors, quiver_feature.cu:263-267);
+    values come back within half-precision tolerance, hits stay exact."""
+    import numpy as np
+    from quiver_tpu import Feature
+
+    rng = np.random.default_rng(0)
+    V, D = 1000, 16
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    budget = 300 * D * 4
+    f = Feature(device_cache_size=budget, cold_transfer_dtype=np.float16)
+    f.from_cpu_tensor(table.copy())
+
+    ids = rng.integers(0, V, 256)
+    got = np.asarray(f[ids])
+    want = table[ids]
+    hot_mask = ids < f.hot_rows   # no reorder: positions == ids
+    np.testing.assert_array_equal(got[hot_mask], want[hot_mask])
+    np.testing.assert_allclose(got[~hot_mask], want[~hot_mask],
+                               rtol=2e-3, atol=2e-3)
+    assert got.dtype == np.float32
+
+
+def test_prefetch_matches_direct_lookup():
+    import numpy as np
+    from quiver_tpu import Feature
+
+    rng = np.random.default_rng(1)
+    V, D = 500, 8
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    f = Feature(device_cache_size=100 * D * 4)
+    f.from_cpu_tensor(table.copy())
+    ids = rng.integers(0, V, 64)
+    f.prefetch(ids)
+    got = np.asarray(f[ids])
+    np.testing.assert_array_equal(got, table[ids])
+    # mismatched prefetch falls through to a correct direct lookup
+    f.prefetch(rng.integers(0, V, 64))
+    other = rng.integers(0, V, 32)
+    np.testing.assert_array_equal(np.asarray(f[other]), table[other])
