@@ -1,0 +1,94 @@
+"""Reddit-shaped sampling benchmark: fanout [25,10], batch 1024.
+
+The reference's second headline config (docs/Introduction_en.md:42-43):
+Reddit (232,965 nodes, ~114.6M directed edges, avg degree ~492), CPU
+2M -> UVA 33.15M SEPS. No dataset egress here, so the proxy matches the
+node/edge counts with a power-law profile (same methodology as
+bench.py, stated in README).
+
+Also answers the open question on `_floyd_positions` (exact mode is
+O(k^2) lane compares per row): both `window` and `exact` strategies are
+timed at the reference's k=25 outer fanout.
+
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import measure  # noqa: E402
+
+BASELINE_SEPS = 33.15e6     # reference UVA, Reddit [25,10]
+N_NODES = 232_965
+N_EDGES = 114_615_892
+FANOUT = [25, 10]
+CACHE = Path(__file__).parent.parent / ".bench_cache" / "reddit_like.npz"
+
+
+def build_graph():
+    if CACHE.exists():
+        z = np.load(CACHE)
+        return z["indptr"], z["indices"]
+    rng = np.random.default_rng(1)
+    w = rng.pareto(1.2, N_NODES) + 1.0
+    deg = np.maximum((w / w.sum() * N_EDGES).astype(np.int64), 1)
+    indptr = np.zeros(N_NODES + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    e = int(indptr[-1])
+    cw = np.cumsum(w)
+    cw /= cw[-1]
+    indices = np.searchsorted(cw, rng.random(e)).astype(np.int32)
+    CACHE.parent.mkdir(exist_ok=True)
+    np.savez(CACHE, indptr=indptr, indices=indices)
+    return indptr, indices
+
+
+def main():
+    import jax
+    import quiver_tpu as qt
+    qt.enable_compilation_cache()
+
+    t0 = time.time()
+    indptr, indices = build_graph()
+    topo = qt.CSRTopo(indptr=indptr, indices=indices)
+    sys.stderr.write(f"graph ready in {time.time()-t0:.1f}s: "
+                     f"{topo.node_count} nodes {topo.edge_count} edges, "
+                     f"devices={jax.devices()}\n")
+    out = {"metric": "sample_seps_reddit_like_f25_10_b1024",
+           "unit": "edges/s"}
+
+    for name, kw in (("window", dict(sampling="window")),
+                     ("exact", dict(sampling="exact"))):
+        s = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
+                               dedup="none", **kw)
+        seps, comp, epb = measure(s, topo.node_count, iters=30)
+        sys.stderr.write(f"dense {name}: {seps/1e6:.2f}M SEPS "
+                         f"({epb} e/b, compile {comp:.1f}s)\n")
+        out[f"dense_{name}_seps"] = round(seps, 1)
+        del s
+
+    # strict per-hop dedup (reference contract). Capacities ~1.25x the
+    # measured unique counts on this proxy.
+    strict = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
+                                dedup="per_hop",
+                                capacities=(26624, 196608))
+    seps2, comp2, _ = measure(strict, topo.node_count, iters=10)
+    sys.stderr.write(f"strict: {seps2/1e6:.2f}M SEPS "
+                     f"(compile {comp2:.1f}s)\n")
+
+    out["value"] = out["dense_window_seps"]
+    out["vs_baseline"] = round(out["dense_window_seps"] / BASELINE_SEPS, 4)
+    out["strict_dedup_seps"] = round(seps2, 1)
+    out["strict_vs_baseline"] = round(seps2 / BASELINE_SEPS, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

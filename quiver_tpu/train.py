@@ -21,7 +21,8 @@ import numpy as np
 from .sampling.sampler import (DenseBlock, _sample_layers_dense,
                                NeighborSampler)
 
-__all__ = ["make_sampled_train_step", "make_pipelined_train_step"]
+__all__ = ["make_sampled_train_step", "make_pipelined_train_step",
+           "make_feature_train_step"]
 
 
 def make_sampled_train_step(model, tx, sampler: NeighborSampler,
@@ -89,6 +90,60 @@ def make_sampled_train_step(model, tx, sampler: NeighborSampler,
                     sampler.edge_table, features, labels, seeds, key,
                     batch_size=int(seeds.shape[0]))
 
+    return run
+
+
+def make_feature_train_step(model, tx, sampler: NeighborSampler,
+                            feature, labels, loss_fn=None):
+    """Training step whose feature table lives in a tiered ``Feature``
+    (table larger than HBM: hot rows on device, cold rows in host RAM /
+    mmap — the capability the reference gets from pinned-CPU
+    ShardTensor shards, shard_tensor.cu.hpp:19-61).
+
+    Three phases per step, overlap-friendly:
+      1. device sampling program (async dispatch);
+      2. tiered gather through ``feature[n_id]`` — hot rows never leave
+         the device, cold rows ride one host->device scatter, and the
+         host-side gather for the NEXT batch can be overlapped via
+         ``feature.prefetch``;
+      3. one jitted fwd/bwd program.
+
+    Works with any sampler mode/dedup. ``labels`` stays host-side (only
+    the batch's labels are shipped). Returns ``step(params, opt_state,
+    seeds, key) -> (params, opt_state, loss, logits)`` plus the sampled
+    batch via ``step.last_batch`` for inspection.
+    """
+    import optax
+
+    if loss_fn is None:
+        def loss_fn(logits, y):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+    labels = np.asarray(labels)
+
+    @jax.jit
+    def train(params, opt_state, x, adjs, y, nb):
+        def compute_loss(p):
+            logits = model.apply(p, x, adjs)[: y.shape[0]]
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logits
+
+    def run(params, opt_state, seeds, key=None):
+        seeds = np.asarray(seeds)
+        b = sampler.sample(seeds)
+        n_id = np.asarray(b.n_id)
+        x = feature[n_id]
+        y = jnp.asarray(labels[seeds])
+        run.last_batch = b
+        return train(params, opt_state, x, b.adjs, y, b.n_count)
+
+    run.last_batch = None
     return run
 
 
