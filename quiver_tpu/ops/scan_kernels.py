@@ -2,13 +2,15 @@
 
 After the id sort in ``ops.unique.union_reindex_sorted_edges`` the
 remaining work is three T-length scans (forward-fill of each run head's
-base-local id, and a cumsum of new-run heads) plus elementwise glue.
-In XLA those are three separate multi-pass scan ops (~5 ms at T=786k on
-a v5e); here they are ONE linear Pallas pass: the grid walks the array
-in 32k-element blocks sequentially (TPU grid steps execute in order on
-the core), block-internal scans are Hillis-Steele log-step rolls on the
-VPU, and the running state (head seen, last head value, new-head count,
-previous element) crosses blocks through four SMEM scalars.
+base-local id, and a cumsum of new-run heads) plus the elementwise
+local-id / edge-mask / extraction-key glue. In XLA those are separate
+multi-pass scan ops plus fused loops (~5-7 ms at T=786k on a v5e); here
+they are ONE linear Pallas pass emitting src/emask/newkey/n_new
+directly: the grid walks the array in 32k-element blocks sequentially
+(TPU grid steps execute in order on the core), block-internal scans are
+Hillis-Steele log-step rolls on the VPU, and the running state (head
+seen, last head value, new-head count, previous element) crosses blocks
+through four SMEM scalars.
 
 This is the TPU-native replacement for the part of the reference's
 hash-table reindex (reindex.cu.hpp:211, quiver_sample.cu:202-255) that

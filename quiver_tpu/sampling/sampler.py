@@ -63,7 +63,6 @@ def _sample_exact(indptr, indices, frontier, f_valid, k, key):
 def _chunked_put(arr, device=None, chunk_bytes=64 << 20):
     """device_put in <=64MB row chunks (single very large transfers have
     wedged the remote-TPU transport; concatenation happens on device)."""
-    import numpy as np
     arr = np.asarray(arr)
     if arr.nbytes <= chunk_bytes or arr.ndim == 0:
         return jax.device_put(jnp.asarray(arr), device=device)
