@@ -41,11 +41,13 @@ def planted_fixture(n=800, deg=10, d=12, classes=4, seed=42):
     return topo, feat, comm
 
 
-def test_fused_pipeline_converges_on_fixture():
+def _train_and_eval(sampling: str, seed: int = 0):
+    """Train the fused pipeline on the fixture with the given sampling
+    strategy; return (first-epoch losses, last-epoch losses, accuracy)."""
     topo, feat, labels = planted_fixture()
     n = topo.node_count
-    sampler = NeighborSampler(topo, [8, 5], mode="TPU", seed=0,
-                              dedup="none")
+    sampler = NeighborSampler(topo, [8, 5], mode="TPU", seed=seed,
+                              dedup="none", sampling=sampling)
     model = GraphSAGE(hidden_features=32, out_features=4, num_layers=2,
                       dropout=0.0)
     tx = optax.adam(1e-2)
@@ -53,13 +55,13 @@ def test_fused_pipeline_converges_on_fixture():
     labels_j = jnp.asarray(labels)
 
     b0 = sampler.sample(np.arange(64))
-    params = model.init(jax.random.PRNGKey(0),
+    params = model.init(jax.random.PRNGKey(seed),
                         feat_j[jnp.clip(b0.n_id, 0, n - 1)], b0.adjs)
     opt_state = tx.init(params)
     step = make_sampled_train_step(model, tx, sampler, feat_j, labels_j)
 
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed + 1)
     first_losses, last_losses = [], []
     for epoch in range(4):
         if epoch:
@@ -71,8 +73,6 @@ def test_fused_pipeline_converges_on_fixture():
                                               order[i:i + 64], sub)
             (first_losses if epoch == 0 else last_losses).append(float(loss))
 
-    assert np.mean(last_losses[-5:]) < 0.7 * np.mean(first_losses[:5])
-
     # eval accuracy over all nodes through the same sampler
     correct = 0
     for i in range(0, n, 64):
@@ -82,5 +82,28 @@ def test_fused_pipeline_converges_on_fixture():
         logits = model.apply(params, x, b.adjs)[: len(seeds)]
         correct += int((np.asarray(logits.argmax(-1))
                         == labels[seeds]).sum())
-    acc = correct / n
+    return first_losses, last_losses, correct / n
+
+
+def test_fused_pipeline_converges_on_fixture():
+    first_losses, last_losses, acc = _train_and_eval("window")
+    assert np.mean(last_losses[-5:]) < 0.7 * np.mean(first_losses[:5])
     assert acc > 0.8, acc
+
+
+def test_window_vs_exact_accuracy_ab():
+    """Accuracy A/B between the default window strategy (contiguous
+    windows of a per-epoch-reshuffled adjacency — uniform marginals
+    over shuffles, not uniform k-subsets per draw) and exact Floyd
+    k-subset sampling (VERDICT r1 weak #4 / next #8).
+
+    The window bias must not cost model quality: both runs converge and
+    the accuracy delta stays within run-to-run noise on the fixture.
+    """
+    accs = {s: [_train_and_eval(s, seed=sd)[2] for sd in (0, 7)]
+            for s in ("window", "exact")}
+    w = np.mean(accs["window"])
+    e = np.mean(accs["exact"])
+    noise = max(np.ptp(accs["window"]), np.ptp(accs["exact"]), 0.02)
+    assert w > 0.8 and e > 0.8, accs
+    assert abs(w - e) <= max(noise, 0.04), accs
