@@ -68,6 +68,8 @@ def get_lib():
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.qt_build_alias.argtypes = [i64p, f32p, ctypes.c_int64,
                                        f32p, i32p]
+        lib.qt_build_blocks.argtypes = [i64p, i32p, ctypes.c_int64,
+                                        ctypes.c_int32, i32p]
         lib.qt_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -175,6 +177,35 @@ def build_alias(indptr, weights):
                        _p(weights, ctypes_f32), V,
                        _p(prob, ctypes_f32), _p(alias, ctypes.c_int32))
     return prob, alias
+
+
+def build_blocks(indptr, indices, lanes: int):
+    """Threaded [V, lanes] block-layout builder for block-exact sampling
+    (header (start, deg) + first lanes-2 neighbors per row). Chunked
+    numpy fallback bounds peak memory when the library is unavailable."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    V = indptr.shape[0] - 1
+    W = int(lanes)
+    out = np.zeros((V, W), np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.qt_build_blocks(_p(indptr, ctypes.c_int64),
+                            _p(indices, ctypes.c_int32), V, W,
+                            _p(out, ctypes.c_int32))
+        return out
+    E = indices.shape[0]
+    j = np.arange(W - 2, dtype=np.int64)[None, :]
+    chunk = max(1, (64 << 20) // (W * 8))
+    for lo in range(0, V, chunk):
+        hi = min(lo + chunk, V)
+        start = indptr[lo:hi]
+        deg = (indptr[lo + 1:hi + 1] - start).astype(np.int32)
+        out[lo:hi, 0] = start.astype(np.int32)
+        out[lo:hi, 1] = deg
+        flat = np.minimum(start[:, None] + j, E - 1)
+        out[lo:hi, 2:] = np.where(j < deg[:, None], indices[flat], 0)
+    return out
 
 
 def shuffle_rows(indptr, indices, eid=None, seed: int = 0):

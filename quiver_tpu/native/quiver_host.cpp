@@ -136,6 +136,26 @@ void qt_shuffle_rows(const int64_t* indptr, int64_t V, uint64_t seed,
     });
 }
 
+// Block layout for TPU block-exact sampling: out is [V, lanes] int32 with
+// out[v] = [start_v, deg_v, indices[start_v : start_v + min(deg_v, lanes-2)],
+// 0-pad]. One descriptor-bound row gather then serves header + body on
+// device (see sampling/kernels.py build_block_layout).
+void qt_build_blocks(const int64_t* indptr, const int32_t* indices,
+                     int64_t V, int32_t lanes, int32_t* out) {
+    parallel_for(V, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t v = lo; v < hi; ++v) {
+            int64_t s = indptr[v], e = indptr[v + 1];
+            int32_t* row = out + v * lanes;
+            row[0] = static_cast<int32_t>(s);
+            row[1] = static_cast<int32_t>(e - s);
+            int64_t body = std::min<int64_t>(e - s, lanes - 2);
+            std::memcpy(row + 2, indices + s, body * sizeof(int32_t));
+            std::memset(row + 2 + body, 0,
+                        (lanes - 2 - body) * sizeof(int32_t));
+        }
+    });
+}
+
 // Per-row Vose alias tables over CSR edge weights -> O(1) weighted
 // draws on device (replaces the reference's per-draw inverse-CDF binary
 // search, cuda_random.cu.hpp:179-221). prob/alias are CSR-slot aligned.

@@ -215,6 +215,102 @@ def sample_adjacency_window(meta, ind2d, frontier, frontier_valid,
     return nbr, mask, slot
 
 
+def build_block_layout(indptr, indices, lanes: int = 128):
+    """Host-side prep for BLOCK-EXACT sampling: a ``[V, lanes]`` int32
+    table where row v is ``[start_v, deg_v, indices[start_v : start_v +
+    min(deg_v, lanes-2)], 0-pad]``.
+
+    Rationale (measured on a v5e): XLA row gathers are *descriptor*-bound
+    at ~31-35M rows/s regardless of row width up to 512 B, while element
+    gathers cost one descriptor each (~55M/s). The reference's exact
+    sampler (CSRRowWiseSampleKernel, cuda_random.cu.hpp:8-69) issues
+    1 + k scattered reads per frontier row; with this layout a row whose
+    degree fits the block needs exactly ONE descriptor — header and
+    neighborhood arrive together. Only rows with deg > lanes-2 (the
+    power-law tail) fall back to per-draw scattered reads, behind a
+    static capacity (see :func:`sample_adjacency_block`).
+
+    Memory: ``V * lanes * 4`` bytes (1.25 GB for ogbn-products at 128
+    lanes) — the graph analogue of the reference keeping indptr always
+    HBM-resident (quiver_sample.cu:361-461).
+    """
+    from .. import native
+    assert int(lanes) >= 18, "block layout needs >= 18 lanes (2 header + k)"
+    return native.build_blocks(indptr, indices, int(lanes))
+
+
+def sample_adjacency_block(blk, indices, frontier, frontier_valid, k: int,
+                           key, big_cap: int):
+    """Exact Floyd k-subset sampling over the block layout.
+
+    Same distribution and output contract as :func:`sample_adjacency`
+    (uniform k-subset per row, no replacement), restructured for the
+    TPU's descriptor-bound gather:
+
+      * every frontier row: ONE [lanes]-wide row gather of its block
+        (header + first lanes-2 neighbors);
+      * rows with deg <= lanes-2 select their k sampled lanes with
+        masked VPU reductions (no further memory traffic);
+      * rows with deg > lanes-2 ("big" rows) are compacted by one
+        [N]-length sort into a static ``big_cap`` buffer, draw their k
+        slots from flat ``indices`` (k scattered reads each), and are
+        row-scattered back.
+
+    ``big_cap`` bounds the scattered work; if a batch contains more big
+    rows than ``big_cap``, the overflow rows' lanes are masked out
+    (undersampled, never wrong) — the same tunable-capacity contract as
+    the reindex buffers. Sizing guidance: deep-hop frontiers are
+    edge-biased, so the big fraction is ``sum_{deg_v > lanes-2} deg_v/E``
+    -ish, not the node-uniform tail (e.g. ~16% at 126 lanes on a
+    products-scale power law); defaults use 0.25-0.35 of the frontier.
+    """
+    W = blk.shape[1]
+    V = blk.shape[0]
+    N = frontier.shape[0]
+    assert k <= W - 2, f"fanout {k} exceeds block body {W - 2}"
+
+    f = jnp.clip(frontier.astype(jnp.int32), 0, V - 1)
+    rows = jnp.take(blk, f, axis=0)                   # [N, W] one issue/row
+    start = rows[:, 0]
+    deg = jnp.where(frontier_valid, rows[:, 1], 0)
+    pos = _floyd_positions(key, deg, k)               # [N, k] exact offsets
+
+    ar = jnp.arange(k, dtype=jnp.int32)
+    cnt = jnp.minimum(deg, k)
+    mask = (ar[None, :] < cnt[:, None]) & frontier_valid[:, None]
+    slot = jnp.where(mask, start[:, None] + pos, 0)
+
+    # Small rows: sampled lanes live in the fetched block at 2 + pos.
+    body = rows[:, 2:]                                # [N, W-2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W - 2), 1)
+    small_vals = []
+    for j in range(k):
+        m = iota == pos[:, j:j + 1]
+        small_vals.append(jnp.sum(jnp.where(m, body, 0), axis=1))
+    nbr = jnp.stack(small_vals, axis=1)               # [N, k]
+
+    # Big rows: compact row indices (one 2-key sort), fetch their
+    # (start, pos) metadata with one row gather, then k scattered reads.
+    is_big = (deg > (W - 2)) & frontier_valid
+    pos_i = jnp.arange(N, dtype=jnp.int32)
+    bigkey = jnp.where(is_big, pos_i, jnp.int32(N))
+    bigidx = jax.lax.sort([bigkey], num_keys=1)[0][:big_cap]  # [big_cap]
+    meta_all = jnp.concatenate([start[:, None], pos], axis=1)  # [N, 1+k]
+    meta_big = jnp.take(meta_all, jnp.minimum(bigidx, N - 1),
+                        axis=0)                        # [big_cap, 1+k]
+    slot_big = meta_big[:, 0:1] + meta_big[:, 1:]      # [big_cap, k]
+    E = indices.shape[0]
+    nbr_big = jnp.take(indices, jnp.clip(slot_big, 0, E - 1),
+                       mode="clip").astype(jnp.int32)
+    nbr = nbr.at[bigidx].set(nbr_big, mode="drop")
+
+    # Overflow accounting: big rows that did not fit big_cap keep only
+    # masked lanes (their block-path values are partial garbage).
+    served = jnp.zeros((N,), jnp.bool_).at[bigidx].set(True, mode="drop")
+    mask = mask & (~is_big | served)[:, None]
+    return nbr, jnp.where(mask, True, False), jnp.where(mask, slot, 0)
+
+
 def weighted_sample_adjacency(indptr, indices, row_cdf, frontier,
                               frontier_valid, k: int, key):
     """Weighted fanout-k sampling WITH replacement (reference semantics).

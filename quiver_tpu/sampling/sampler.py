@@ -40,6 +40,8 @@ from .kernels import (
     sample_adjacency_meta,
     sample_adjacency_window,
     sample_adjacency_packed,
+    sample_adjacency_block,
+    build_block_layout,
     build_meta2,
     build_window_layout,
     build_packed_layout,
@@ -51,12 +53,18 @@ from .kernels import (
 )
 
 
-def _sample_exact(indptr, indices, frontier, f_valid, k, key):
-    """Exact-mode dispatch: (meta2, indices) tuple -> one-row-gather
-    meta kernel; plain array -> indptr element gathers."""
+def _sample_exact(indptr, indices, frontier, f_valid, k, key, big_cap=0):
+    """Exact-mode dispatch: ([V, >2]-wide, indices) tuple -> block-exact
+    kernel (one descriptor per small-degree row); ([V, 2], indices)
+    tuple -> one-row-gather meta kernel; plain array -> indptr element
+    gathers. All three draw identical uniform k-subsets."""
     if isinstance(indices, tuple):
-        meta2, ind1d = indices
-        return sample_adjacency_meta(meta2, ind1d, frontier, f_valid, k, key)
+        tab, ind1d = indices
+        if tab.shape[1] > 2:
+            return sample_adjacency_block(
+                tab, ind1d, frontier, f_valid, k, key,
+                big_cap=big_cap or frontier.shape[0])
+        return sample_adjacency_meta(tab, ind1d, frontier, f_valid, k, key)
     return sample_adjacency(indptr, indices, frontier, f_valid, k, key)
 
 
@@ -226,11 +234,11 @@ def _sample_layers_packed(packed2d, seed_meta, seeds, seed_count, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("sizes", "caps", "batch_size", "weighted", "window",
-                     "reindex", "num_nodes"),
+                     "reindex", "num_nodes", "big_caps"),
 )
 def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
                    sizes, caps, batch_size, weighted, window=False,
-                   reindex=None, num_nodes=0):
+                   reindex=None, num_nodes=0, big_caps=None):
     """Jitted multi-layer sample + union/reindex. All shapes static.
 
     ``reindex``: per-layer tuple of "sort" (3-sort fused compaction) or
@@ -255,7 +263,8 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
                 meta, ind2d, frontier, f_valid, k, sub, k_max=max(sizes))
         else:
             nbr, mask, slot = _sample_exact(
-                indptr, indices, frontier, f_valid, k, sub)
+                indptr, indices, frontier, f_valid, k, sub,
+                big_cap=big_caps[li] if big_caps else 0)
 
         cap = caps[li]
         if reindex is not None and reindex[li] == "dense":
@@ -312,13 +321,24 @@ class NeighborSampler:
       weighted: sample proportionally to ``csr_topo.edge_weight``
         (with replacement, parity with reference weight_sample).
       seed: PRNG seed.
+      block_lanes: width of the block-exact layout used by the
+        per-hop-dedup exact path (None = auto by memory budget, 0 =
+        disable and use the (start, deg) meta table).
+      big_caps: per-layer capacities for block-exact's scattered hub
+        fallback (None = auto: full at layer 0, 0.3x frontier deeper).
     """
+
+    # Auto block-exact layout: largest lane count whose [V, lanes] int32
+    # table stays under this budget (the graph analogue of the reference
+    # always keeping indptr in HBM, quiver_sample.cu:361-461).
+    _BLOCK_BYTES_LIMIT = 2 << 30
 
     def __init__(self, csr_topo, sizes: Sequence[int], device=None,
                  mode: str = "TPU", capacities: Optional[Sequence[int]] = None,
                  weighted: bool = False, seed: int = 0,
                  dedup: str = "none", sampling: Optional[str] = None,
-                 reindex: str = "auto"):
+                 reindex: str = "auto", block_lanes: Optional[int] = None,
+                 big_caps: Optional[Sequence[int]] = None):
         mode = mode.upper()
         if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -342,6 +362,8 @@ class NeighborSampler:
         self.csr_topo = csr_topo
         self.sizes = tuple(int(s) for s in sizes)
         self.capacities = None if capacities is None else tuple(capacities)
+        self.big_caps = None if big_caps is None else tuple(
+            int(c) for c in big_caps)
         self.weighted = bool(weighted)
         # window/packed sampling needs pre-shuffled rows; weighted
         # sampling draws by edge weight so a contiguous window would bias
@@ -387,10 +409,25 @@ class NeighborSampler:
             elif self.weighted:
                 self.indices = put(jnp.asarray(csr_topo.indices, jnp.int32))
             else:
-                # exact mode: (start, deg) meta table + flat indices —
-                # one row gather replaces two indptr element gathers
-                self.indices = (put(jnp.asarray(build_meta2(csr_topo.indptr))),
-                                put(jnp.asarray(csr_topo.indices, jnp.int32)))
+                # exact mode. Per-hop-dedup pipelines get the block-exact
+                # layout (header + neighbor prefix in one row gather;
+                # kernels.py build_block_layout) when a [V, lanes] table
+                # fits the budget; otherwise — and for the dense
+                # positional pipeline, whose lane-structured frontiers
+                # would overflow any big-row capacity — the (start, deg)
+                # meta table + flat indices (one row gather replaces two
+                # indptr element gathers).
+                W = self._pick_block_lanes(csr_topo, block_lanes)
+                if dedup == "per_hop" and W:
+                    blk = build_block_layout(csr_topo.indptr,
+                                             csr_topo.indices, W)
+                    self.indices = (_chunked_put(blk, device),
+                                    put(jnp.asarray(csr_topo.indices,
+                                                    jnp.int32)))
+                else:
+                    self.indices = (
+                        put(jnp.asarray(build_meta2(csr_topo.indptr))),
+                        put(jnp.asarray(csr_topo.indices, jnp.int32)))
             if self.weighted:
                 # packed per-row alias tables (prob bits | alias pos);
                 # see weighted_sample_alias (kernels.py)
@@ -404,6 +441,38 @@ class NeighborSampler:
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
                                            weighted=self.weighted, seed=seed,
                                            dedup=self.dedup)
+
+    def _pick_block_lanes(self, csr_topo, block_lanes) -> int:
+        """Resolve the block-exact layout width: explicit value, or the
+        largest of 128/64/32 whose table fits _BLOCK_BYTES_LIMIT and
+        still holds the largest fanout; 0 = meta-table fallback."""
+        if block_lanes is not None:
+            return int(block_lanes)
+        V = csr_topo.node_count
+        for W in (128, 64, 32):
+            if V * W * 4 <= self._BLOCK_BYTES_LIMIT and W - 2 >= max(self.sizes):
+                return W
+        return 0
+
+    def _resolve_big_caps(self, batch_size: int, caps) -> Tuple[int, ...]:
+        """Per-layer scattered-fallback capacities for block-exact
+        sampling. Layer 0's frontier is the user's seeds (could be all
+        hubs) -> full capacity; deeper frontiers are edge-biased samples,
+        where the big fraction is the tail edge mass (~0.15-0.25 at 128
+        lanes on power-law graphs) -> 0.3 of the frontier, like the
+        reindex capacities: overflow rows' lanes are masked, never wrong.
+        """
+        if self.big_caps is not None:
+            return self.big_caps
+        out = []
+        f_cap = batch_size
+        for li in range(len(self.sizes)):
+            if li == 0:
+                out.append(f_cap)
+            else:
+                out.append(min(f_cap, max(256, -(-int(0.3 * f_cap) // 256) * 256)))
+            f_cap = caps[li]
+        return tuple(out)
 
     def reshuffle(self, seed: int = None) -> None:
         """Re-permute every row's neighbor order (window sampling only).
@@ -525,7 +594,8 @@ class NeighborSampler:
             sizes=self.sizes, caps=caps, batch_size=bs,
             weighted=self.weighted, window=self.sampling == "window",
             reindex=self._reindex_plan(bs, caps),
-            num_nodes=self.csr_topo.node_count)
+            num_nodes=self.csr_topo.node_count,
+            big_caps=self._resolve_big_caps(bs, caps))
 
         adjs = []
         f_cap = bs

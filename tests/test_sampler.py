@@ -512,3 +512,93 @@ def test_window_vs_exact_planted_community_accuracy():
     acc_window = train_eval("window")
     assert acc_exact > 0.8, acc_exact          # the task is learnable
     assert acc_window > acc_exact - 0.06, (acc_window, acc_exact)
+
+
+def test_block_exact_sampler_contract():
+    """The block-exact layout (one row gather per small-degree row,
+    capacity-bounded scattered fallback for hubs — kernels.py
+    sample_adjacency_block) draws the same uniform k-subsets as the meta
+    path: subset validity, counts, and no-replacement all hold through
+    the full per-hop-dedup pipeline."""
+    topo, edges = simple_graph()
+    sizes = [3, 2]
+    # lanes=18 -> body 16 covers every row here (forced small path);
+    # the simple graph's degrees are <= 5.
+    s = NeighborSampler(topo, sizes, mode="TPU", seed=0, dedup="per_hop",
+                        block_lanes=18)
+    assert s.indices[0].shape[1] == 18
+    seeds = [0, 5, 4]
+    batch = s.sample(seeds)
+    _check_batch(batch, edges, seeds, sizes)
+    n_id = np.asarray(batch.n_id)
+    for li, adj in enumerate(reversed(batch.adjs)):
+        k = sizes[li]
+        ei = np.asarray(adj.edge_index)
+        mask = np.asarray(adj.mask)
+        rows = {}
+        for e in np.where(mask)[0]:
+            rows.setdefault(int(ei[1, e]), []).append(int(ei[0, e]))
+        for d_local, s_locals in rows.items():
+            g_dst = int(n_id[d_local])
+            got = [int(n_id[x]) for x in s_locals]
+            assert set(got) <= set(edges[g_dst])
+            assert len(got) == min(len(edges[g_dst]), k)
+            assert len(set(got)) == len(got)
+
+
+def test_block_exact_big_row_fallback_and_overflow():
+    """Rows with deg > lanes-2 go through the scattered fallback and stay
+    exactly uniform; rows beyond big_cap are masked out (undersampled,
+    never wrong) — the same capacity contract as the reindex buffers."""
+    from quiver_tpu.sampling.kernels import (build_block_layout,
+                                             sample_adjacency_block)
+    rng = np.random.default_rng(0)
+    V, W, k = 64, 24, 5
+    deg = rng.integers(1, 80, V)            # many rows exceed W-2=22
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1])).astype(np.int32)
+    blk = build_block_layout(indptr, indices, W)
+
+    f = np.arange(V, dtype=np.int32)
+    valid = np.ones(V, bool)
+    n_big = int((deg > W - 2).sum())
+    nbr, mask, slot = sample_adjacency_block(
+        jnp.asarray(blk), jnp.asarray(indices), jnp.asarray(f),
+        jnp.asarray(valid), k, jax.random.PRNGKey(1), big_cap=V)
+    nbr, mask, slot = map(np.asarray, (nbr, mask, slot))
+    for v in range(V):
+        take = min(deg[v], k)
+        assert mask[v].sum() == take
+        s = slot[v][mask[v]]
+        assert (s >= indptr[v]).all() and (s < indptr[v + 1]).all()
+        assert len(set(s.tolist())) == len(s)
+        assert (indices[s] == nbr[v][mask[v]]).all()
+
+    # Overflow: big_cap smaller than the number of big rows -> exactly
+    # big_cap big rows are served, the rest fully masked; small rows
+    # are never affected.
+    cap = max(1, n_big // 2)
+    _, mask2, _ = sample_adjacency_block(
+        jnp.asarray(blk), jnp.asarray(indices), jnp.asarray(f),
+        jnp.asarray(valid), k, jax.random.PRNGKey(2), big_cap=cap)
+    mask2 = np.asarray(mask2)
+    big = deg > W - 2
+    served = mask2[big].any(axis=1).sum()
+    assert served == cap
+    assert (mask2[~big].sum(axis=1) == np.minimum(deg[~big], k)).all()
+
+    # Distribution: a single big row sampled many times has uniform
+    # per-neighbor marginals (chi-square within 4 sigma).
+    d = 60
+    ip = np.array([0, d], np.int64)
+    ind = np.arange(d, dtype=np.int32)
+    b = build_block_layout(ip, ind, W)
+    T = 20000
+    nb, mk, _ = sample_adjacency_block(
+        jnp.asarray(b), jnp.asarray(ind), jnp.zeros(T, jnp.int32),
+        jnp.ones(T, bool), k, jax.random.PRNGKey(3), big_cap=T)
+    hits = np.bincount(np.asarray(nb)[np.asarray(mk)], minlength=d)
+    expect = T * k / d
+    chi2 = ((hits - expect) ** 2 / expect).sum()
+    assert abs(chi2 - (d - 1)) < 4 * np.sqrt(2 * (d - 1)), chi2
