@@ -52,6 +52,15 @@ __all__ = [
     "weighted_sample_adjacency",
     "cal_next_prob",
     "__version__",
+    # lazy (resolved by __getattr__), mirroring the reference export list
+    # (reference __init__.py:12-20)
+    "Feature", "DistFeature", "PartitionInfo",
+    "GraphSageSampler", "MixedGraphSageSampler", "SampleJob",
+    "quiver_partition_feature", "load_quiver_feature_partition",
+    "getNcclId", "NcclComm",
+    "RequestBatcher", "HybridSampler", "InferenceServer",
+    "InferenceServer_Debug",
+    "generate_neighbour_num",
 ]
 
 
@@ -71,6 +80,19 @@ def __getattr__(name):
     if name in ("MixedSampler", "SampleJob"):
         from .sampling import mixed as _m
         return getattr(_m, name)
+    if name in ("GraphSageSampler", "MixedGraphSageSampler",
+                "AsyncNeighborSampler"):
+        # Reference exports the samplers at top level too (__init__.py:3)
+        from . import pyg as _pyg
+        return getattr(_pyg, name)
+    if name in ("RequestBatcher", "HybridSampler", "InferenceServer",
+                "InferenceServer_Debug", "ServerMetrics"):
+        # Reference __init__.py:10 exports the serving stack at top level
+        from . import serving as _s
+        return getattr(_s, name)
+    if name == "multiprocessing":
+        import importlib
+        return importlib.import_module(".multiprocessing", __name__)
     if name in ("CommWorld", "NcclComm", "getNcclId", "init_distributed"):
         from . import comm as _c
         return getattr(_c, name)

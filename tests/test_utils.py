@@ -81,6 +81,30 @@ def test_public_api_surface():
     assert GraphSageSampler is qt.NeighborSampler
 
 
+def test_reference_export_list_resolves():
+    """Every name the reference exports at top level (reference
+    __init__.py:12-20) resolves on quiver_tpu with the same name, so a
+    migrating `from quiver import X` becomes `from quiver_tpu import X`
+    with no renames."""
+    import quiver_tpu as qt
+
+    reference_exports = [
+        "Feature", "DistFeature", "GraphSageSampler", "PartitionInfo",
+        "CSRTopo", "MixedGraphSageSampler", "SampleJob",
+        "quiver_partition_feature", "load_quiver_feature_partition",
+        "p2pCliqueTopo", "init_p2p", "getNcclId", "NcclComm",
+        "RequestBatcher", "HybridSampler", "InferenceServer",
+        "InferenceServer_Debug", "generate_neighbour_num",
+    ]
+    for name in reference_exports:
+        assert getattr(qt, name) is not None, name
+    # and the reference's submodule surface
+    assert qt.multiprocessing.reductions.init_reductions() is None
+    feat = qt.Feature(device_cache_size=0)
+    rebuild, (handle,) = qt.multiprocessing.reductions.reduce_feature(feat)
+    assert rebuild(handle) is feat
+
+
 def test_parse_size_two_letter_suffix():
     """Reference parse_size accepts "KB"/"MB"/"GB" too (ADVICE r1)."""
     from quiver_tpu import parse_size
