@@ -80,11 +80,17 @@ def load_ogb(root, undirected: bool = True,
 
     src, dst = edges[:, 0], edges[:, 1]
     if undirected:
+        # Symmetrize + coalesce (PyG to_undirected semantics): raw files
+        # that already store both directions (or self-loops) must not
+        # become duplicated multi-edges with doubled degree.
         src, dst = (np.concatenate([src, dst]), np.concatenate([dst, src]))
+        key = src * n + dst
+        _, keep = np.unique(key, return_index=True)
+        src, dst = src[keep], dst[keep]
     topo = CSRTopo(edge_index=np.stack([src, dst]), num_nodes=n)
 
     split_root = root / "split"
-    splits = {"train": np.arange(n), "valid": np.empty(0, np.int64),
+    splits = {"train": None, "valid": np.empty(0, np.int64),
               "test": np.empty(0, np.int64)}
     if split_root.is_dir():
         sub = sorted(p for p in split_root.iterdir() if p.is_dir())
@@ -93,6 +99,12 @@ def load_ogb(root, undirected: bool = True,
                 p = sub[0] / f"{part}.csv.gz"
                 if p.exists():
                     splits[part] = _read_csv_gz(p, np.int64).reshape(-1)
+    if splits["train"] is None:
+        # Refuse to invent a split: silently training on every node
+        # (test set included) would report meaningless accuracy.
+        raise FileNotFoundError(
+            f"no split/<name>/train.csv.gz under {root}; pass an OGB-layout "
+            "dataset directory or build one with save_npz")
 
     return GraphDataset(topo=topo, feat=feat, labels=labels,
                         train_idx=splits["train"],

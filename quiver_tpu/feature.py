@@ -40,15 +40,6 @@ class DeviceConfig:
     host_memory_budget: Optional[int] = None
 
 
-@functools.partial(jax.jit, static_argnames=("hot_rows",))
-def _gather_hot(hot, ids, hot_rows):
-    """Gather rows < hot_rows from the device table; 0 rows elsewhere."""
-    in_hot = ids < hot_rows
-    safe = jnp.where(in_hot, ids, 0)
-    rows = jnp.take(hot, safe, axis=0)
-    return jnp.where(in_hot[:, None], rows, 0), in_hot
-
-
 @jax.jit
 def _take_clipped(hot, pos):
     """Device hot-tier gather; out-of-tier rows clamp to row 0 and are
@@ -223,16 +214,32 @@ class Feature:
         import concurrent.futures
         if self._pf_pool is None:
             self._pf_pool = concurrent.futures.ThreadPoolExecutor(1)
+        self._drain_prefetch()
         key = np.asarray(n_id)
         self._pf = (key, self._pf_pool.submit(self._lookup, key))
+
+    def _drain_prefetch(self):
+        """Retire an in-flight prefetch whose result won't be used. The
+        single-worker pool usually starts the task immediately, so
+        cancel() fails and we must WAIT for it — otherwise the background
+        _lookup races the foreground one on ``self.stats``."""
+        if self._pf is None:
+            return
+        _, fut = self._pf
+        self._pf = None
+        if not fut.cancel():
+            try:
+                fut.result()
+            except Exception:
+                pass
 
     def __getitem__(self, n_id):
         if self._pf is not None:
             key, fut = self._pf
-            self._pf = None
             if np.array_equal(key, np.asarray(n_id)):
+                self._pf = None
                 return fut.result()
-            fut.cancel()
+            self._drain_prefetch()
         return self._lookup(n_id)
 
     def _lookup(self, n_id):
@@ -251,8 +258,15 @@ class Feature:
         m = ids.shape[0]
         self.stats["lookups"] += m
 
+        # Samplers pad n_id with SENTINEL (and dispatch masks use -1);
+        # route padding to row 0 (a hot row) BEFORE any table indexing so
+        # feature_order/disk_map never see an out-of-range id and pad rows
+        # cost no host traffic. Padded rows are masked downstream.
+        V = self.shape[0]
+        ids = np.where((ids >= 0) & (ids < V), ids, 0)
+
         pos = ids if self.feature_order is None else self.feature_order[ids]
-        pos = np.clip(pos, 0, self.shape[0] - 1)
+        pos = np.clip(pos, 0, V - 1)
 
         on_disk = None
         if self.disk_map is not None:

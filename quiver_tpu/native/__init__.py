@@ -195,6 +195,8 @@ def build_blocks(indptr, indices, lanes: int):
                             _p(out, ctypes.c_int32))
         return out
     E = indices.shape[0]
+    if E == 0:
+        return out
     j = np.arange(W - 2, dtype=np.int64)[None, :]
     chunk = max(1, (64 << 20) // (W * 8))
     for lo in range(0, V, chunk):

@@ -291,8 +291,9 @@ class DistNeighborSampler:
         information-theoretic need (ids actually requested + k
         (neighbor, slot) pairs per answered row)."""
         out, F = [], B
+        caps = self._req_caps(B)
         for li, k in enumerate(self.sizes):
-            C = self._req_caps(B)[li]
+            C = caps[li]
             out.append({
                 "hop": li, "req_cap": int(C),
                 "wire_bytes": int(self.H * C * 4 + self.H * C * 2 * k * 4),

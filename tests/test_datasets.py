@@ -26,8 +26,12 @@ def test_load_ogb_matches_source_arrays(expected):
     ds = load_ogb(FIXTURE)
     n = expected["feat"].shape[0]
     assert ds.topo.node_count == n
-    # undirected: each input edge appears in both directions
-    assert ds.topo.edge_count == 2 * len(expected["src"])
+    # undirected + coalesced (PyG to_undirected semantics): each edge in
+    # both directions, reciprocal duplicates in the raw file merged
+    src, dst = expected["src"], expected["dst"]
+    sym = np.unique(np.stack([np.concatenate([src, dst]),
+                              np.concatenate([dst, src])]), axis=1)
+    assert ds.topo.edge_count == sym.shape[1]
     np.testing.assert_allclose(ds.feat, expected["feat"], atol=1e-4)
     np.testing.assert_array_equal(ds.labels, expected["labels"])
     np.testing.assert_array_equal(np.sort(ds.train_idx),
@@ -36,9 +40,9 @@ def test_load_ogb_matches_source_arrays(expected):
                                   np.sort(expected["test"]))
     assert ds.num_classes == int(expected["labels"].max()) + 1
 
-    # adjacency ground truth: neighbors of node 0 under symmetrization
-    src, dst = expected["src"], expected["dst"]
-    want = np.sort(np.concatenate([dst[src == 0], src[dst == 0]]))
+    # adjacency ground truth: neighbors of node 0 under coalesced
+    # symmetrization (duplicates merged)
+    want = np.unique(np.concatenate([dst[src == 0], src[dst == 0]]))
     got = np.sort(ds.topo.indices[ds.topo.indptr[0]:ds.topo.indptr[1]])
     np.testing.assert_array_equal(got, want)
 
@@ -77,3 +81,35 @@ def test_end_to_end_sample_on_fixture():
     assert len(n_id) >= 8
     x = ds.feat[n_id]
     assert x.shape[1] == ds.feat.shape[1]
+
+
+def _write_csv_gz(path, arr):
+    import gzip
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(path, "wt") as fh:
+        for row in np.atleast_2d(arr):
+            fh.write(",".join(str(int(v)) for v in np.atleast_1d(row)) + "\n")
+
+
+def test_load_ogb_undirected_coalesces_reciprocal_and_self_edges(tmp_path):
+    """Raw files that already store both directions (or self-loops) must
+    not become duplicated multi-edges with doubled degree (round-2
+    review finding)."""
+    root = tmp_path / "tiny"
+    _write_csv_gz(root / "raw" / "edge.csv.gz",
+                  np.array([[0, 1], [1, 0], [2, 2], [0, 2]]))
+    _write_csv_gz(root / "raw" / "num-node-list.csv.gz", np.array([[3]]))
+    _write_csv_gz(root / "split" / "s" / "train.csv.gz", np.array([[0]]))
+    ds = load_ogb(root)
+    # unique symmetrized pairs: (0,1),(1,0),(2,2),(0,2),(2,0) -> 5
+    assert ds.topo.edge_count == 5
+    n0 = ds.topo.indices[ds.topo.indptr[0]:ds.topo.indptr[1]]
+    np.testing.assert_array_equal(np.sort(n0), [1, 2])
+
+
+def test_load_ogb_missing_split_raises(tmp_path):
+    root = tmp_path / "nosplit"
+    _write_csv_gz(root / "raw" / "edge.csv.gz", np.array([[0, 1]]))
+    _write_csv_gz(root / "raw" / "num-node-list.csv.gz", np.array([[2]]))
+    with pytest.raises(FileNotFoundError):
+        load_ogb(root)

@@ -340,3 +340,57 @@ def test_prefetch_matches_direct_lookup():
     f.prefetch(rng.integers(0, V, 64))
     other = rng.integers(0, V, 32)
     np.testing.assert_array_equal(np.asarray(f[other]), table[other])
+
+
+def test_lookup_routes_sentinel_padding_to_hot_row():
+    """Samplers pad n_id with SENTINEL (and dispatch masks with -1);
+    a reordered Feature (access_prob set) must not index feature_order
+    with those out-of-range ids (round-2 review finding)."""
+    import numpy as np
+    from quiver_tpu import Feature
+    from quiver_tpu.sampling.sampler import SENTINEL
+
+    rng = np.random.default_rng(2)
+    V, D = 300, 6
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    w = rng.pareto(1.5, V) + 1.0
+    f = Feature(device_cache_size=50 * D * 4)
+    f.from_cpu_tensor(table.copy(), access_prob=w)
+
+    valid = rng.integers(0, V, 40)
+    ids = np.concatenate([valid, np.full(24, int(SENTINEL), np.int64),
+                          np.full(8, -1, np.int64)])
+    before_cold = f.stats["cold_hits"]
+    got = np.asarray(f[ids])
+    np.testing.assert_allclose(got[:40], table[valid], rtol=1e-6)
+    # padding resolves to row 0 (hot) — no host traffic for pad rows
+    np.testing.assert_allclose(got[40:], np.broadcast_to(table[0], (32, D)),
+                               rtol=1e-6)
+    assert f.stats["cold_hits"] - before_cold <= 40
+
+
+def test_prefetch_mismatch_drains_before_foreground_lookup():
+    """A discarded prefetch must be retired (not left running) so the
+    background _lookup can't race the foreground one on stats."""
+    import numpy as np
+    from quiver_tpu import Feature
+
+    rng = np.random.default_rng(3)
+    V, D = 400, 4
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    f = Feature(device_cache_size=100 * D * 4)
+    f.from_cpu_tensor(table.copy())
+    f[rng.integers(0, V, 16)]  # warm
+    f.stats = {k: 0 for k in f.stats}
+
+    a = rng.integers(0, V, 64)
+    b = rng.integers(0, V, 64)
+    f.prefetch(a)
+    f.prefetch(b)            # first prefetch retired here
+    got = np.asarray(f[rng.integers(0, V, 32)])  # mismatch: b retired too
+    # a prefetch retired BEFORE it started counts nothing; one retired
+    # after starting is drained to completion — either way the counters
+    # are consistent (no torn increments from a still-running thread)
+    assert f.stats["lookups"] >= 32
+    assert f.stats["lookups"] % 32 == 0
+    assert f.stats["hot_hits"] + f.stats["cold_hits"] == f.stats["lookups"]
