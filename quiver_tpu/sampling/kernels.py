@@ -261,8 +261,8 @@ def sample_adjacency_block(blk, indices, frontier, frontier_valid, k: int,
     (undersampled, never wrong) — the same tunable-capacity contract as
     the reindex buffers. Sizing guidance: deep-hop frontiers are
     edge-biased, so the big fraction is ``sum_{deg_v > lanes-2} deg_v/E``
-    -ish, not the node-uniform tail (e.g. ~16% at 126 lanes on a
-    products-scale power law); defaults use 0.25-0.35 of the frontier.
+    -ish, not the node-uniform tail (measured 0.15-0.21 at 126 lanes on
+    a products-scale power law); defaults use 0.2 of the frontier.
     """
     W = blk.shape[1]
     V = blk.shape[0]

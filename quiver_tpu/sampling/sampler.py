@@ -325,7 +325,7 @@ class NeighborSampler:
         per-hop-dedup exact path (None = auto by memory budget, 0 =
         disable and use the (start, deg) meta table).
       big_caps: per-layer capacities for block-exact's scattered hub
-        fallback (None = auto: full at layer 0, 0.3x frontier deeper).
+        fallback (None = auto: full at layer 0, 0.2x frontier deeper).
     """
 
     # Auto block-exact layout: largest lane count whose [V, lanes] int32
@@ -457,10 +457,13 @@ class NeighborSampler:
     def _resolve_big_caps(self, batch_size: int, caps) -> Tuple[int, ...]:
         """Per-layer scattered-fallback capacities for block-exact
         sampling. Layer 0's frontier is the user's seeds (could be all
-        hubs) -> full capacity; deeper frontiers are edge-biased samples,
-        where the big fraction is the tail edge mass (~0.15-0.25 at 128
-        lanes on power-law graphs) -> 0.3 of the frontier, like the
-        reindex capacities: overflow rows' lanes are masked, never wrong.
+        hubs) -> full capacity; deeper frontiers are *deduped* unique-node
+        sets whose measured big fraction (deg > 126) on power-law graphs
+        is 0.15-0.21 -> 0.2 of the frontier (measured on the products
+        bench: zero overflow across 30 uniform-seed batches, and the
+        smaller scattered-read budget lifts strict SEPS ~8%). Like the
+        reindex capacities: overflow rows' lanes are masked, never wrong,
+        and ``big_caps`` overrides the default for hub-heavy seed sets.
         """
         if self.big_caps is not None:
             return self.big_caps
@@ -470,7 +473,7 @@ class NeighborSampler:
             if li == 0:
                 out.append(f_cap)
             else:
-                out.append(min(f_cap, max(256, -(-int(0.3 * f_cap) // 256) * 256)))
+                out.append(min(f_cap, max(256, -(-int(0.2 * f_cap) // 256) * 256)))
             f_cap = caps[li]
         return tuple(out)
 
