@@ -6,6 +6,12 @@ idiomatic shape is: the table stays in HBM, the kernel issues per-row
 async DMAs HBM->VMEM driven by scalar-prefetched indices, and Pallas
 pipelines the VMEM output block back to HBM. A plain XLA dynamic-gather
 (`jnp.take`) is kept as reference/fallback path.
+
+Measured verdict (v5e, 131072 rows x 512 B from a 1.25 GB table,
+benchmarks/ablate_strict.py): XLA ``jnp.take`` = 2.50 ms, this kernel =
+2.74 ms at its best setting (rows_per_step=128; 7.5 ms at 8). Both are
+descriptor-issue-bound at ~50M rows/s, so the hot paths use ``jnp.take``
+and this kernel remains the explicit-DMA reference implementation.
 """
 from __future__ import annotations
 

@@ -602,3 +602,42 @@ def test_block_exact_big_row_fallback_and_overflow():
     expect = T * k / d
     chi2 = ((hits - expect) ** 2 / expect).sum()
     assert abs(chi2 - (d - 1)) < 4 * np.sqrt(2 * (d - 1)), chi2
+
+
+@pytest.mark.parametrize("dedup", ["none", "per_hop"])
+def test_sample_many_matches_per_batch_contract(dedup):
+    """sample_many stacks n independent batches in one dispatch; each
+    at_batch view must satisfy the same invariants as sample() output
+    (and distinct rows must produce distinct samples)."""
+    rng = np.random.default_rng(0)
+    row = rng.integers(0, 500, 8000)
+    col = rng.integers(0, 500, 8000)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=500)
+    adj = {v: set(col[row == v].tolist()) for v in range(500)}
+    s = NeighborSampler(topo, [4, 3], mode="TPU", dedup=dedup, seed=3)
+    seeds2d = np.stack([rng.choice(500, 32, replace=False)
+                        for _ in range(5)])
+    st = s.sample_many(seeds2d)
+    assert st.n_id.shape[0] == 5
+    edge_sets = []
+    for i in range(5):
+        b = st.at_batch(i)
+        n_id = np.asarray(b.n_id)
+        nc = int(b.n_count)
+        if dedup == "per_hop":
+            valid = n_id[:nc]
+            assert len(set(valid.tolist())) == nc
+            assert (valid[:32] == seeds2d[i]).all()
+        # subset validity on every block
+        for a in b.adjs:
+            m = np.asarray(a.mask)
+            assert m.any()
+            if dedup == "per_hop":
+                ei = np.asarray(a.edge_index)
+                src_g = n_id[ei[0][m]]
+                dst_g = n_id[ei[1][m]]
+                for sg, dg in zip(src_g.tolist(), dst_g.tolist()):
+                    assert sg in adj[dg]
+        edge_sets.append(np.asarray(b.adjs[0].e_id)[
+            np.asarray(b.adjs[0].mask)].tobytes())
+    assert len(set(edge_sets)) > 1  # rows are independent draws
