@@ -5,13 +5,23 @@ samplers + device inference loop -> p50/p99/throughput per routing mode.
 
 The SAME paced request trace is replayed through three configs —
 ``auto`` (size-predictive routing), ``device`` (everything on the
-chip), ``cpu`` (everything through the CPU sampler pool) — to show the
-workload-awareness winning, as the reference claims with its tp99 curve
-(README.md:66-70, serving.py:286-360). The routing threshold is
-calibrated from the ``generate_neighbour_num`` cost table: requests
-whose predicted sampled-subgraph size exceeds the trace median go to
-the device (big batches amortize the fixed dispatch cost), small ones
-to the CPU pool (lower latency floor).
+chip), ``cpu`` (everything through the CPU sampler pool) — the
+reference's tp99 experiment (README.md:66-70, serving.py:286-360).
+Twist vs the reference: instead of a hardcoded threshold, ``auto``
+CALIBRATES the routing threshold by probing both backends per request
+size (``generate_neighbour_num`` predicts the size; the probe decides
+which backend wins it on the actual hardware). Both lanes use
+continuous batching — seed coalescing on the device queue, stacked
+(vmapped, fixed-group) inference over same-shape CPU-presampled
+batches.
+
+Honesty note for this environment: the remote-TPU transport's
+per-dispatch latency drifts 3-10x over minutes, so single-run mode
+orderings are unstable even with interleaved-median replays
+(--rounds). The stable observations across runs: calibration routes to
+whichever backend the probes measure as faster (here the CPU pool at
+every size — threshold inf — so auto tracks cpu-only within noise),
+and removing continuous batching from either lane degrades it by ~2x.
 
   python examples/serving/serve_sage.py [--requests 300] [--rate 120]
 """
@@ -40,6 +50,12 @@ from quiver_tpu.serving import (
 quiver_tpu.enable_compilation_cache()
 
 
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def make_trace(rng, n_nodes, count, rate_hz):
     """A mixed workload: mostly small point requests, a tail of large
     scans (the shape the reference's router exists for), with
@@ -57,17 +73,23 @@ def make_trace(rng, n_nodes, count, rate_hz):
 
 
 def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
-             cpu_workers):
+             cpu_workers, infer_stacked_fn=None, lane_ms_per_cost=None):
     inq = queue.Queue()
     rb = RequestBatcher(inq, neighbour_num=nn_table, threshold=threshold,
-                       mode=mode)
+                        mode=mode, lane_ms_per_cost=lane_ms_per_cost)
     hybrid = HybridSampler(
         rb.cpu_queue,
         sampler_factory=lambda: NeighborSampler(topo, fanout, mode="CPU",
                                                 dedup="none"),
         num_workers=cpu_workers)
+    # CPU-side seed merging is left OFF: merged batches land in diverse
+    # pad buckets, defeating the stacked (same-shape) inference groups;
+    # light requests all share one bucket and stack instead.
     server = InferenceServer(rb.device_queue, hybrid.sampled_queue,
-                             infer_fn, coalesce_max_seeds=256)
+                             infer_fn, coalesce_max_seeds=256,
+                             infer_stacked_fn=infer_stacked_fn,
+                             stack_max_batches=32,
+                             on_done=rb.report_request_done)
 
     def replay(items, record=True):
         if record:
@@ -88,8 +110,8 @@ def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
             done += 1
         return server.metrics.summary()
 
-    # warmup replays compile every coalesced bucket shape
-    replay(trace[: max(len(trace) // 3, 8)], record=False)
+    # short functional warmup (shapes are pre-warmed globally in main)
+    replay(trace[:16], record=False)
     m = replay(trace)
     rb.stop()
     return m
@@ -105,6 +127,8 @@ def main():
     ap.add_argument("--cpu-workers", type=int, default=2)
     ap.add_argument("--modes", nargs="+",
                     default=["auto", "device", "cpu"])
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleaved replay rounds per mode (median)")
     ap.add_argument("--cpu-backend", action="store_true",
                     help="force the JAX CPU backend (logic check)")
     args = ap.parse_args()
@@ -150,21 +174,97 @@ def main():
         out = apply_j(params, x, batch.adjs)
         return np.asarray(out)[: len(seeds)]
 
-    trace = make_trace(rng, n, args.requests, args.rate)
-    # calibrate: route requests above the trace-median predicted cost to
-    # the device (generate_neighbour_num percentiles, reference
-    # serving.py:88-95)
-    costs = [float(np.take(nn_table, s, mode="clip").sum())
-             for s, _ in trace]
-    threshold = float(np.percentile(costs, 50))
-    print(f"routing threshold = trace-median predicted cost "
-          f"{threshold:.0f} nodes")
+    # Stacked inference for CPU-presampled groups: one vmapped program
+    # serves every same-shape presampled batch in a single dispatch.
+    vapply_j = jax.jit(jax.vmap(model.apply, in_axes=(None, 0, 0)))
 
+    def infer_stacked_fn(seeds_list, batches):
+        # Fixed group sizes {16, 32}: two compiled vmapped programs ever
+        # (variable group sizes would each compile their own mid-serve).
+        g = len(batches)
+        gp = 16 if g <= 16 else 32
+        batches = list(batches) + [batches[-1]] * (gp - g)
+        nids = np.stack([np.clip(np.asarray(b.n_id), 0, n - 1)
+                         for b in batches])
+        x = feat_j[jnp.asarray(nids)]                   # [gp, N, D]
+        adjs = jax.tree.map(lambda *xs: jnp.stack(
+            [jnp.asarray(np.asarray(x_)) for x_ in xs]),
+            *[b.adjs for b in batches])
+        outs = np.asarray(vapply_j(params, x, adjs))    # [gp, N, C]
+        return [outs[i][: len(s)] for i, s in enumerate(seeds_list)]
+
+    trace = make_trace(rng, n, args.requests, args.rate)
+
+    # Warm EVERY program shape any mode can hit before measuring any of
+    # them: per seed bucket, the device sample+infer path, the
+    # presampled-infer path, and the stacked group program. Without
+    # this, whichever mode first touches a shape pays its compile inside
+    # the measured window and the A/B is meaningless.
+    cpu_warm = NeighborSampler(topo, args.fanout, mode="CPU", dedup="none")
+    for b in (8, 16, 32, 64, 128, 256):
+        seeds = rng.integers(0, n, b)
+        infer_fn(seeds, None)
+        pb = cpu_warm.sample(seeds)
+        infer_fn(seeds, pb)
+        infer_stacked_fn([seeds, seeds], [pb, pb])          # gp=16
+        infer_stacked_fn([seeds] * 17, [pb] * 17)           # gp=32
+
+    # Calibrate the routing threshold by PROBING both backends (the
+    # reference hardcodes a threshold, serving.py:88-95; measuring is
+    # strictly better because the crossover depends on the hardware:
+    # with a local chip and ~us dispatch the device path wins big
+    # requests, while over a remote tunnel with ~5 ms/launch the CPU
+    # pool + stacked inference can win everywhere -> threshold inf).
+    cpu_probe = NeighborSampler(topo, args.fanout, mode="CPU", dedup="none")
+    probe_sizes, dev_t, cpu_t, pred_cost = [8, 64, 256], [], [], []
+    for sz in probe_sizes:
+        seeds = rng.integers(0, n, sz)
+        pred_cost.append(float(np.take(nn_table, seeds, mode="clip").sum()))
+        # Probe each lane in its BATCHED regime (what it does under
+        # load): G requests per device dispatch — merged seeds on the
+        # device lane, a stacked same-shape group on the CPU lane —
+        # then report amortized per-request cost.
+        G = max(1, 128 // sz)
+        merged = rng.integers(0, n, sz * G)
+        dev_t.append(min(_timed(lambda: infer_fn(merged, None))
+                         for _ in range(3)) / G)
+
+        def _cpu_group():
+            ss = [rng.integers(0, n, sz) for _ in range(G)]
+            bs = [cpu_probe.sample(s) for s in ss]
+            if G > 1:
+                infer_stacked_fn(ss, bs)
+            else:
+                infer_fn(ss[0], bs[0])
+        cpu_t.append(min(_timed(_cpu_group) for _ in range(3)) / G)
+    print("amortized probe ms/req (size: device vs cpu-path): " + "  ".join(
+        f"{s}: {d*1e3:.1f} vs {c*1e3:.1f}"
+        for s, d, c in zip(probe_sizes, dev_t, cpu_t)))
+    # Probes seed the ADAPTIVE router: per-unit-cost lane speeds; at
+    # runtime each request joins the lane with the lower estimated
+    # drain time (queue-pressure balancing), so a lane that drifts
+    # slower sheds load automatically.
+    lane_ms = (sum(d / p for d, p in zip(dev_t, pred_cost)) * 1e3 / 3,
+               sum(c / p for c, p in zip(cpu_t, pred_cost)) * 1e3 / 3)
+    threshold = 0.0   # unused by the adaptive router
+    print(f"adaptive lane speeds: device {lane_ms[0]:.4f} / "
+          f"cpu {lane_ms[1]:.4f} ms per predicted node")
+
+    # Interleave replays round-robin across modes so transport drift
+    # (which swings per-dispatch latency over minutes on this shared
+    # link) hits every mode equally; report the per-mode median.
+    all_runs = {mode: [] for mode in args.modes}
+    for _ in range(args.rounds):
+        for mode in args.modes:
+            all_runs[mode].append(run_mode(
+                mode, trace, topo, args.fanout, nn_table, threshold,
+                infer_fn, args.cpu_workers,
+                infer_stacked_fn=infer_stacked_fn,
+                lane_ms_per_cost=lane_ms))
     results = {}
     for mode in args.modes:
-        m = run_mode(mode, trace, topo, args.fanout, nn_table, threshold,
-                     infer_fn, args.cpu_workers)
-        results[mode] = m
+        rs = sorted(all_runs[mode], key=lambda r: r["p99_ms"])
+        m = results[mode] = rs[len(rs) // 2]
         print(f"{mode:>7}: p50 {m['p50_ms']:7.1f} ms   "
               f"p99 {m['p99_ms']:7.1f} ms   "
               f"{m['throughput_rps']:6.1f} req/s   "
@@ -175,6 +275,24 @@ def main():
         print(f"auto p99 vs device-only: {d['p99_ms']/a['p99_ms']:.2f}x, "
               f"vs cpu-only: {c['p99_ms']/a['p99_ms']:.2f}x  "
               f"(>1 = auto wins)")
+        import json
+        art = {
+            "metric": "serving_p99_ab",
+            "offered_rate_rps": args.rate,
+            "requests": args.requests,
+            "lane_ms_per_cost": [round(v, 5) for v in lane_ms],
+            "modes": {k: {kk: round(vv, 1) for kk, vv in v.items()}
+                      for k, v in results.items()},
+            "auto_p99_win_vs_device": round(d["p99_ms"] / a["p99_ms"], 2),
+            "auto_p99_win_vs_cpu": round(c["p99_ms"] / a["p99_ms"], 2),
+        }
+        out = Path(__file__).resolve().parent.parent.parent / \
+            "SERVING_BENCH.json"
+        try:
+            out.write_text(json.dumps(art) + "\n")
+            print(f"wrote {out}")
+        except OSError:
+            pass
     sys.stdout.flush()
     import os
     os._exit(0)  # skip teardown races between daemon threads and runtime

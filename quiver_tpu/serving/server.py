@@ -69,26 +69,60 @@ class RequestBatcher:
     """
 
     def __init__(self, stream_queue: queue.Queue, neighbour_num=None,
-                 threshold: float = 0.0, mode: str = "auto"):
+                 threshold: float = 0.0, mode: str = "auto",
+                 lane_ms_per_cost=None):
         self.stream_queue = stream_queue
         self.neighbour_num = (None if neighbour_num is None
                               else np.asarray(neighbour_num))
         self.threshold = threshold
         self.mode = mode
+        # (device_ms, cpu_ms) per unit of predicted cost, measured by
+        # probing each lane in its batched regime. When set, auto
+        # routing becomes QUEUE-PRESSURE-ADAPTIVE: each request joins
+        # the lane with the lower estimated drain time
+        # (backlog cost + own cost) * lane speed — so if one lane slows
+        # down at runtime (transport drift, CPU contention), its queue
+        # grows and traffic shifts away automatically. This replaces
+        # the reference's fixed threshold (serving.py:88-95) with the
+        # adaptive split MixedGraphSageSampler already uses for
+        # training (sage_sampler.py:272-288).
+        self.lane_ms_per_cost = lane_ms_per_cost
         self.device_queue: queue.Queue = queue.Queue()
         self.cpu_queue: queue.Queue = queue.Queue()
+        self._backlog = {"device": 0.0, "cpu": 0.0}   # routed cost totals
+        self._drained = {"device": 0.0, "cpu": 0.0}
+        self._inflight = {}
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
-    def _route(self, seeds) -> queue.Queue:
+    def report_request_done(self, req_id):
+        """Feedback hook (adaptive routing): the consumer reports a
+        finished request so the lane's backlog estimate deflates. Wire
+        as ``InferenceServer(..., on_done=batcher.report_request_done)``."""
+        lane_cost = self._inflight.pop(req_id, None)
+        if lane_cost is not None:
+            self._drained[lane_cost[0]] += lane_cost[1]
+
+    def _choose(self, seeds):
         if self.mode == "device":
-            return self.device_queue
+            return "device", 0.0
         if self.mode == "cpu":
-            return self.cpu_queue
+            return "cpu", 0.0
         if self.neighbour_num is None:
-            return self.device_queue
+            return "device", 0.0
         cost = float(np.take(self.neighbour_num, seeds, mode="clip").sum())
-        return self.device_queue if cost > self.threshold else self.cpu_queue
+        if self.lane_ms_per_cost is not None:
+            dev_ms, cpu_ms = self.lane_ms_per_cost
+            pend_d = max(self._backlog["device"] - self._drained["device"],
+                         0.0)
+            pend_c = max(self._backlog["cpu"] - self._drained["cpu"], 0.0)
+            go_dev = (pend_d + cost) * dev_ms <= (pend_c + cost) * cpu_ms
+            return ("device" if go_dev else "cpu"), cost
+        return ("device" if cost > self.threshold else "cpu"), cost
+
+    def _route(self, seeds) -> queue.Queue:
+        lane, _ = self._choose(seeds)
+        return self.device_queue if lane == "device" else self.cpu_queue
 
     def _dispatch(self):
         while True:
@@ -98,8 +132,12 @@ class RequestBatcher:
                 self.cpu_queue.put(_STOP)
                 return
             req_id, seeds, t_enq = item
-            self._route(np.asarray(seeds)).put((req_id, np.asarray(seeds),
-                                                t_enq))
+            seeds = np.asarray(seeds)
+            lane, cost = self._choose(seeds)
+            self._backlog[lane] += cost
+            self._inflight[req_id] = (lane, cost)
+            q = self.device_queue if lane == "device" else self.cpu_queue
+            q.put((req_id, seeds, t_enq))
 
     def stop(self):
         self.stream_queue.put(_STOP)
@@ -107,12 +145,23 @@ class RequestBatcher:
 
 class HybridSampler:
     """CPU sampler worker pool feeding pre-sampled batches
-    (reference HybridSampler serving.py:101-147)."""
+    (reference HybridSampler serving.py:101-147).
+
+    ``coalesce_max_seeds > 0`` merges waiting CPU requests into ONE
+    sampled batch before handing it to the device loop: seeds are
+    concatenated, sampled together, and the inference output is split
+    back per request by seed offsets (valid because the dense sampling
+    contract keeps output row i aligned with merged seed i). Without
+    this, every small CPU-routed request costs the device a separate
+    program dispatch — on a remote-attached chip that dispatch (~5 ms)
+    dwarfs the compute and the hybrid path *loses* to device-only
+    batching instead of winning."""
 
     def __init__(self, cpu_queue: queue.Queue, sampler_factory: Callable,
-                 num_workers: int = 2):
+                 num_workers: int = 2, coalesce_max_seeds: int = 0):
         self.cpu_queue = cpu_queue
         self.sampled_queue: queue.Queue = queue.Queue()
+        self.coalesce_max_seeds = coalesce_max_seeds
         self._workers = []
         for w in range(num_workers):
             t = threading.Thread(target=self._loop,
@@ -127,9 +176,25 @@ class HybridSampler:
                 self.cpu_queue.put(_STOP)   # let sibling workers see it too
                 self.sampled_queue.put(_STOP)
                 return
-            req_id, seeds, t_enq = item
-            batch = sampler.sample(seeds)
-            self.sampled_queue.put((req_id, seeds, batch, t_enq))
+            items = [item]
+            total = len(item[1])
+            while self.coalesce_max_seeds and total < self.coalesce_max_seeds:
+                try:
+                    nxt = self.cpu_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self.cpu_queue.put(_STOP)
+                    break
+                items.append(nxt)
+                total += len(nxt[1])
+            merged = (np.concatenate([s for _, s, _ in items])
+                      if len(items) > 1 else np.asarray(items[0][1]))
+            batch = sampler.sample(merged)
+            self.sampled_queue.put(([i[0] for i in items],
+                                    [len(i[1]) for i in items],
+                                    merged, batch,
+                                    [i[2] for i in items]))
 
 
 class InferenceServer:
@@ -155,10 +220,16 @@ class InferenceServer:
     def __init__(self, device_queue: queue.Queue,
                  sampled_queue: Optional[queue.Queue],
                  infer_fn: Callable, result_queue: Optional[queue.Queue] = None,
-                 coalesce_max_seeds: int = 0):
+                 coalesce_max_seeds: int = 0,
+                 infer_stacked_fn: Optional[Callable] = None,
+                 stack_max_batches: int = 16,
+                 on_done: Optional[Callable] = None):
         self.device_queue = device_queue
         self.sampled_queue = sampled_queue
         self.infer_fn = infer_fn
+        self.infer_stacked_fn = infer_stacked_fn
+        self.stack_max_batches = stack_max_batches
+        self.on_done = on_done
         self.result_queue = result_queue or queue.Queue()
         self.coalesce_max_seeds = coalesce_max_seeds
         self.metrics = ServerMetrics()
@@ -166,11 +237,59 @@ class InferenceServer:
         for t in self._threads:
             t.start()
 
+    def _serve_presampled(self, got):
+        """Serve CPU-presampled work with as few device dispatches as
+        possible: drain waiting presampled items, group by padded batch
+        shape, and run each group through ``infer_stacked_fn`` (one
+        vmapped program per group) when provided — continuous batching
+        for the CPU path, matching the device queue's seed coalescing."""
+        groups = {}
+
+        def add(g):
+            if len(g) == 4:                     # legacy single-item tuple
+                req_id, seeds, batch, t_enq = g
+                g = ([req_id], [len(seeds)], seeds, batch, [t_enq])
+            elif not isinstance(g[0], list):
+                req_id, lens, seeds, batch, t_enq = g
+                g = ([req_id], [lens], seeds, batch, [t_enq])
+            key = getattr(g[3], "batch_size", g[2].shape[0])
+            groups.setdefault(key, []).append(g)
+
+        add(got)
+        n = 1
+        while self.infer_stacked_fn is not None and n < self.stack_max_batches:
+            try:
+                nxt = self.sampled_queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                self.sampled_queue.put(_STOP)
+                break
+            add(nxt)
+            n += 1
+
+        for items in groups.values():
+            if self.infer_stacked_fn is not None and len(items) > 1:
+                outs = self.infer_stacked_fn([g[2] for g in items],
+                                             [g[3] for g in items])
+            else:
+                outs = [self.infer_fn(g[2], g[3]) for g in items]
+            for (req_ids, lens, _, _, t_enqs), out in zip(items, outs):
+                off = 0
+                for rid, ln, te in zip(req_ids, lens, t_enqs):
+                    self.metrics.record(te, ln)
+                    if self.on_done is not None:
+                        self.on_done(rid)
+                    self.result_queue.put((rid, out[off: off + ln]))
+                    off += ln
+
     def _serve_device_items(self, items):
         if len(items) == 1 or not self.coalesce_max_seeds:
             for req_id, seeds, t_enq in items:
                 out = self.infer_fn(seeds, None)
                 self.metrics.record(t_enq, len(seeds))
+                if self.on_done is not None:
+                    self.on_done(req_id)
                 self.result_queue.put((req_id, out))
             return
         merged = np.concatenate([s for _, s, _ in items])
@@ -178,61 +297,61 @@ class InferenceServer:
         off = 0
         for req_id, seeds, t_enq in items:
             self.metrics.record(t_enq, len(seeds))
+            if self.on_done is not None:
+                self.on_done(req_id)
             self.result_queue.put((req_id, outs[off: off + len(seeds)]))
             off += len(seeds)
 
     def _loop(self):
-        stopped = False
+        # Fair alternation between the two work sources: one coalesced
+        # device batch, then one presampled group, per round. Strict
+        # device priority starves CPU-routed requests whenever the
+        # device queue stays non-empty (head-of-line p99 tail).
+        dev_done = False
+        samp_done = self.sampled_queue is None
         while True:
-            item = None
-            try:
-                if self.sampled_queue is None:
-                    # no fallback queue to poll: block instead of spinning
-                    item = self.device_queue.get(timeout=0.05)
-                else:
+            served = False
+            if not dev_done:
+                try:
                     item = self.device_queue.get_nowait()
-            except queue.Empty:
-                pass
-            if item is None and self.sampled_queue is not None:
-                try:
-                    got = self.sampled_queue.get(timeout=0.002)
-                    if got is _STOP:
-                        if stopped:      # both queues drained + stopped
-                            self.result_queue.put(_STOP)
-                            return
-                        got = None
-                    if got is not None:
-                        req_id, seeds, batch, t_enq = got
-                        out = self.infer_fn(seeds, batch)
-                        self.metrics.record(t_enq, len(seeds))
-                        self.result_queue.put((req_id, out))
-                        continue
                 except queue.Empty:
-                    pass
-            if item is None:
-                if stopped and self.sampled_queue is None:
-                    self.result_queue.put(_STOP)
-                    return
-                continue
-            if item is _STOP:
-                if self.sampled_queue is None:
-                    self.result_queue.put(_STOP)
-                    return
-                stopped = True
-                continue
-            items = [item]
-            total = len(item[1])
-            while self.coalesce_max_seeds and total < self.coalesce_max_seeds:
+                    item = None
+                if item is _STOP:
+                    dev_done = True
+                elif item is not None:
+                    items = [item]
+                    total = len(item[1])
+                    while (self.coalesce_max_seeds
+                           and total < self.coalesce_max_seeds):
+                        try:
+                            nxt = self.device_queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if nxt is _STOP:
+                            dev_done = True
+                            break
+                        items.append(nxt)
+                        total += len(nxt[1])
+                    self._serve_device_items(items)
+                    served = True
+            if not samp_done:
                 try:
-                    nxt = self.device_queue.get_nowait()
+                    got = self.sampled_queue.get_nowait()
                 except queue.Empty:
-                    break
-                if nxt is _STOP:
-                    self.device_queue.put(_STOP)  # reprocess next round
-                    break
-                items.append(nxt)
-                total += len(nxt[1])
-            self._serve_device_items(items)
+                    got = None
+                if got is _STOP:
+                    # stop() is called after results are drained (no
+                    # in-flight work), so the first worker's stop token
+                    # ends the lane; later tokens are inert.
+                    samp_done = True
+                elif got is not None:
+                    self._serve_presampled(got)
+                    served = True
+            if dev_done and samp_done:
+                self.result_queue.put(_STOP)
+                return
+            if not served:
+                time.sleep(0.001)
 
     def join(self, timeout=None):
         for t in self._threads:

@@ -145,3 +145,66 @@ def test_generate_neighbour_num_subset_and_trials():
     assert out[0] == 16.0, out
     # seed 3: 1 + 1 (node 0) at hop1; hop2 rows {3, 0} add 1 + 5 -> 8
     assert out[1] == 8.0, out
+
+
+def test_hybrid_coalesce_and_stacked_groups():
+    """The CPU path's continuous batching: HybridSampler merges queued
+    requests into one sampled batch (seed-offset splitting), and the
+    InferenceServer groups same-shape presampled items into ONE
+    stacked-inference call. Every request still gets exactly its own
+    rows back."""
+    rng = np.random.default_rng(2)
+    topo = star_plus_isolated(rng, n=64)
+    feat = rng.normal(size=(64, 4)).astype(np.float32)
+
+    cpu_q = queue.Queue()
+    hybrid = HybridSampler(
+        cpu_q,
+        sampler_factory=lambda: NeighborSampler(topo, [3], mode="CPU",
+                                                dedup="none", seed=0),
+        num_workers=1, coalesce_max_seeds=64)
+    calls = {"single": 0, "stacked": 0}
+
+    def infer_fn(seeds, batch):
+        calls["single"] += 1
+        nid = np.clip(np.asarray(batch.n_id), 0, 63)
+        return feat[nid][: len(seeds)]
+
+    def infer_stacked_fn(seeds_list, batches):
+        calls["stacked"] += 1
+        outs = []
+        for s, b in zip(seeds_list, batches):
+            nid = np.clip(np.asarray(b.n_id), 0, 63)
+            outs.append(feat[nid][: len(s)])
+        return outs
+
+    server = InferenceServer(queue.Queue(), hybrid.sampled_queue,
+                             infer_fn, infer_stacked_fn=infer_stacked_fn)
+    reqs = {i: rng.integers(0, 64, rng.integers(1, 5)) for i in range(12)}
+    for i, seeds in reqs.items():
+        cpu_q.put((i, seeds, time.time()))
+    got = {}
+    while len(got) < len(reqs):
+        rid, out = server.result_queue.get(timeout=30)
+        got[rid] = out
+    for i, seeds in reqs.items():
+        # row j of the result is the feature row of request seed j
+        # (dense contract: output row i aligns with merged seed i)
+        assert got[i].shape[0] == len(seeds)
+        assert np.allclose(got[i], feat[seeds])
+    assert calls["single"] + calls["stacked"] >= 1
+
+
+def test_presampled_legacy_single_tuple():
+    """InferenceServer still accepts the round-1 single-item sampled
+    tuple (req_id, seeds, batch, t_enq)."""
+    rng = np.random.default_rng(3)
+    topo = star_plus_isolated(rng, n=64)
+    s = NeighborSampler(topo, [3], mode="CPU", dedup="none", seed=0)
+    sq = queue.Queue()
+    server = InferenceServer(queue.Queue(), sq,
+                             lambda seeds, b: np.asarray(seeds, np.float32))
+    seeds = np.array([1, 2, 3])
+    sq.put((7, seeds, s.sample(seeds), time.time()))
+    rid, out = server.result_queue.get(timeout=30)
+    assert rid == 7 and np.allclose(out, seeds)
