@@ -108,7 +108,10 @@ def main():
     strict = NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
                              dedup="per_hop",
                              capacities=(16384, 131072, 589824))
-    seps2, comp2, _ = measure(strict, topo.node_count, iters=10)
+    # 30 batches per timing window, same as the dense row's 50: short
+    # windows fold the window-end sync round-trip (~2-4 ms/batch at 10
+    # iters on this transport) into the per-batch figure.
+    seps2, comp2, _ = measure(strict, topo.node_count, iters=30)
     sys.stderr.write(f"per-hop-dedup pipeline: {seps2/1e6:.2f}M SEPS "
                      f"(compile {comp2:.1f}s)\n")
 

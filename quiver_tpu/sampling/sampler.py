@@ -55,14 +55,22 @@ from .kernels import (
 )
 
 
-def _sample_exact(indptr, indices, frontier, f_valid, k, key, big_cap=0):
+def _sample_exact(indptr, indices, frontier, f_valid, k, key, big_cap=0,
+                  fused=False):
     """Exact-mode dispatch: ([V, >2]-wide, indices) tuple -> block-exact
     kernel (one descriptor per small-degree row); ([V, 2], indices)
     tuple -> one-row-gather meta kernel; plain array -> indptr element
-    gathers. All three draw identical uniform k-subsets."""
+    gathers. All three draw identical uniform k-subsets. ``fused``
+    routes the block-exact case through the fused Pallas kernel
+    (pallas_sampler.py) instead of the staged XLA ops."""
     if isinstance(indices, tuple):
         tab, ind1d = indices
         if tab.shape[1] > 2:
+            if fused:
+                from .pallas_sampler import sample_adjacency_block_fused
+                return sample_adjacency_block_fused(
+                    tab, ind1d, frontier, f_valid, k, key,
+                    big_cap=big_cap or frontier.shape[0])
             return sample_adjacency_block(
                 tab, ind1d, frontier, f_valid, k, key,
                 big_cap=big_cap or frontier.shape[0])
@@ -241,11 +249,11 @@ def _sample_layers_packed(packed2d, seed_meta, seeds, seed_count, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("sizes", "caps", "batch_size", "weighted", "window",
-                     "reindex", "num_nodes", "big_caps"),
+                     "reindex", "num_nodes", "big_caps", "fused"),
 )
 def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
                    sizes, caps, batch_size, weighted, window=False,
-                   reindex=None, num_nodes=0, big_caps=None):
+                   reindex=None, num_nodes=0, big_caps=None, fused=False):
     """Jitted multi-layer sample + union/reindex. All shapes static.
 
     ``reindex``: per-layer tuple of "sort" (3-sort fused compaction) or
@@ -271,7 +279,7 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
         else:
             nbr, mask, slot = _sample_exact(
                 indptr, indices, frontier, f_valid, k, sub,
-                big_cap=big_caps[li] if big_caps else 0)
+                big_cap=big_caps[li] if big_caps else 0, fused=fused)
 
         cap = caps[li]
         if reindex is not None and reindex[li] == "dense":
@@ -370,7 +378,9 @@ class NeighborSampler:
                  weighted: bool = False, seed: int = 0,
                  dedup: str = "none", sampling: Optional[str] = None,
                  reindex: str = "auto", block_lanes: Optional[int] = None,
-                 big_caps: Optional[Sequence[int]] = None):
+                 big_caps: Optional[Sequence[int]] = None,
+                 fused: Optional[bool] = None):
+        import os
         mode = mode.upper()
         if mode not in ("TPU", "CPU", "HBM", "GPU", "UVA"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -406,6 +416,19 @@ class NeighborSampler:
         elif dedup == "per_hop" and sampling == "packed":
             sampling = "window"
         self.sampling = sampling
+        # Fused Pallas block sampler (pallas_sampler.py): one kernel
+        # owns fetch+draw+select per hop — measured 63.6M vs 42.5M SEPS
+        # for the staged XLA ops on the products-scale strict bench.
+        # Default ON where it applies (real TPU, per-hop-dedup block
+        # layout); QUIVER_TPU_FUSED_SAMPLER=0/1 overrides, and the
+        # staged path serves non-TPU backends (compiled Mosaic only).
+        env = os.environ.get("QUIVER_TPU_FUSED_SAMPLER")
+        if fused is not None:
+            self._fused = bool(fused)
+        elif env is not None:
+            self._fused = env == "1"
+        else:
+            self._fused = dedup == "per_hop" and self._on_tpu()
         self.device = device
         self._key = jax.random.PRNGKey(seed)
         self._rng = np.random.default_rng(seed)
@@ -479,6 +502,12 @@ class NeighborSampler:
             self._cpu = cpu_ref.CPUSampler(csr_topo, self.sizes,
                                            weighted=self.weighted, seed=seed,
                                            dedup=self.dedup)
+
+    @staticmethod
+    def _on_tpu() -> bool:
+        d = jax.devices()[0]
+        return ("tpu" in d.platform.lower()
+                or "TPU" in str(getattr(d, "device_kind", "")))
 
     def _pick_block_lanes(self, csr_topo, block_lanes) -> int:
         """Resolve the block-exact layout width: explicit value, or the
@@ -641,7 +670,8 @@ class NeighborSampler:
             weighted=self.weighted, window=self.sampling == "window",
             reindex=self._reindex_plan(bs, caps),
             num_nodes=self.csr_topo.node_count,
-            big_caps=self._resolve_big_caps(bs, caps))
+            big_caps=self._resolve_big_caps(bs, caps),
+            fused=self._fused)
 
         adjs = []
         f_cap = bs
@@ -723,7 +753,8 @@ class NeighborSampler:
             weighted=self.weighted, window=self.sampling == "window",
             reindex=self._reindex_plan(bs, caps),
             num_nodes=self.csr_topo.node_count,
-            big_caps=self._resolve_big_caps(bs, caps))
+            big_caps=self._resolve_big_caps(bs, caps),
+            fused=self._fused)
         adjs = []
         f_cap = bs
         for li, (edge_index, e_id, mask, counts) in enumerate(layer_outs):

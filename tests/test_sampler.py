@@ -641,3 +641,60 @@ def test_sample_many_matches_per_batch_contract(dedup):
         edge_sets.append(np.asarray(b.adjs[0].e_id)[
             np.asarray(b.adjs[0].mask)].tobytes())
     assert len(set(edge_sets)) > 1  # rows are independent draws
+
+
+def test_fused_pallas_block_sampler_contract():
+    """Interpret-mode contract of the fused Pallas block sampler
+    (sampling/pallas_sampler.py) against the CSR ground truth: subset
+    validity, per-row counts, distinct slots, big-row fallback."""
+    from quiver_tpu.sampling.kernels import build_block_layout
+    from quiver_tpu.sampling.pallas_sampler import (
+        sample_adjacency_block_fused)
+
+    rng = np.random.default_rng(0)
+    V, W, k = 500, 32, 5
+    deg = np.maximum(rng.pareto(1.2, V).astype(np.int64), 1)
+    deg[::50] = 100                      # big rows (> W-2)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1])).astype(np.int32)
+    blk = jnp.asarray(build_block_layout(indptr, indices, W))
+    N = 256
+    frontier = rng.integers(0, V, N).astype(np.int32)
+    fv = rng.random(N) < 0.9
+    nbr, mask, slot = sample_adjacency_block_fused(
+        blk, jnp.asarray(indices), jnp.asarray(frontier), jnp.asarray(fv),
+        k, jax.random.PRNGKey(3), big_cap=64, interpret=True)
+    nbr, mask, slot = map(np.asarray, (nbr, mask, slot))
+    for i in range(N):
+        d = int(indptr[frontier[i] + 1] - indptr[frontier[i]]) \
+            if fv[i] else 0
+        got = int(mask[i].sum())
+        assert got in (min(d, k), 0)     # 0 only on big-row overflow
+        if got:
+            s0, s1 = int(indptr[frontier[i]]), int(indptr[frontier[i] + 1])
+            sl = slot[i][mask[i]]
+            assert (sl >= s0).all() and (sl < s1).all()
+            assert len(set(sl.tolist())) == len(sl)
+            assert (nbr[i][mask[i]] == indices[sl]).all()
+
+
+def test_fused_pallas_block_sampler_uniform():
+    """Uniform per-neighbor marginals (chi-square within 4 sigma) for
+    the fused kernel on a fixed-degree row."""
+    from quiver_tpu.sampling.kernels import build_block_layout
+    from quiver_tpu.sampling.pallas_sampler import (
+        sample_adjacency_block_fused)
+
+    d, W, k, T = 20, 32, 5, 4000
+    ip = np.array([0, d], np.int64)
+    ind = np.arange(d, dtype=np.int32)
+    blk = jnp.asarray(build_block_layout(ip, ind, W))
+    nb, mk, _ = sample_adjacency_block_fused(
+        blk, jnp.asarray(ind), jnp.zeros(T, jnp.int32),
+        jnp.ones(T, bool), k, jax.random.PRNGKey(7), big_cap=T,
+        interpret=True)
+    hits = np.bincount(np.asarray(nb)[np.asarray(mk)], minlength=d)
+    expect = T * k / d
+    chi2 = ((hits - expect) ** 2 / expect).sum()
+    assert chi2 < d - 1 + 4 * np.sqrt(2 * (d - 1)), chi2
