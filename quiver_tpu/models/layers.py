@@ -38,10 +38,17 @@ def _is_csr(adj) -> bool:
 
 
 def _dense_neighbors(x_src, adj):
-    """[F, k, D] lane features + [F, k, 1] mask for a DenseBlock."""
+    """[k, F, D] lane features + [k, F, 1] mask for a DenseBlock.
+
+    Lane-major: lane slot j of all dst rows is the contiguous slice
+    ``x_src[F + j*F : F + (j+1)*F]`` (DenseBlock layout), so this
+    reshape is free and the reduction over axis 0 streams aligned
+    [F, D] slices at HBM bandwidth — the dst-major [F, k, D] layout
+    measured 8x slower on a v5e (fanout axis pads to the sublane tile).
+    """
     F, k = adj.size[1], adj.fanout
-    lanes = x_src[F:F + F * k].reshape(F, k, -1)
-    return lanes, adj.mask[..., None]
+    lanes = x_src[F:F + F * k].reshape(k, F, -1)
+    return lanes, adj.mask.T[..., None]
 
 
 class SAGEConv(nn.Module):
@@ -61,26 +68,24 @@ class SAGEConv(nn.Module):
             lanes, m = _dense_neighbors(x_src, adj)
             mf = m.astype(x_src.dtype)
             if self.aggr == "mean":
-                agg = (lanes * mf).sum(1) / jnp.maximum(mf.sum(1), 1)
+                agg = (lanes * mf).sum(0) / jnp.maximum(mf.sum(0), 1)
             elif self.aggr == "sum":
-                agg = (lanes * mf).sum(1)
+                agg = (lanes * mf).sum(0)
             elif self.aggr == "max":
                 # -inf (not finfo.min) as the masked fill so fully-masked
                 # rows (padding, degree-0) are caught by the isfinite
                 # guard and zeroed instead of leaking -3.4e38 downstream.
-                agg = jnp.where(m, lanes, -jnp.inf).max(1)
+                agg = jnp.where(m, lanes, -jnp.inf).max(0)
                 agg = jnp.where(jnp.isfinite(agg), agg,
                                 jnp.zeros((), x_src.dtype))
             else:
                 raise ValueError(f"unknown aggr {self.aggr!r}")
         elif _is_csr(adj):
-            # Full-graph block: fused Pallas SpMM (gather+accumulate in
-            # one kernel, no [E, D] intermediate) — ops/spmm.py.
-            if self.aggr not in ("mean", "sum"):
-                raise ValueError("CSRBlock aggregation supports mean/sum; "
-                                 "use full_graph_adj for max")
+            # Full-graph block: degree-bucketed gather SpMM (no scatter,
+            # no per-edge descriptors) — ops/spmm.py.
             from ..ops.spmm import spmm_csr
-            agg = spmm_csr(adj.indptr, adj.indices, x_src, aggr=self.aggr)
+            agg = spmm_csr(adj.indptr, adj.indices, x_src, aggr=self.aggr,
+                           plan=getattr(adj, "plan", None))
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]
             msgs = jnp.take(x_src, src, axis=0)
@@ -124,25 +129,27 @@ class GATConv(nn.Module):
         a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
 
         if _is_csr(adj):
-            # Full-graph block: fused Pallas SDDMM + edge softmax +
-            # weighted SpMM, one pass per head (ops/spmm.py gat_csr).
+            # Full-graph block: fused SDDMM + edge softmax + weighted
+            # SpMM over the bucketed layout, ALL heads in one pass (one
+            # gather serves every head) — ops/spmm.py gat_csr.
             from ..ops.spmm import gat_csr
-            out = jnp.stack(
-                [gat_csr(adj.indptr, adj.indices, xw[:, h, :],
-                         a_s[:, h], a_d[:, h], self.negative_slope)
-                 for h in range(H)], axis=1)                # [V, H, C]
+            out = gat_csr(adj.indptr, adj.indices, xw, a_s, a_d,
+                          self.negative_slope,
+                          plan=getattr(adj, "plan", None))  # [V, H, C]
         elif _is_dense(adj):
-            # Positional fast path: attention softmax over the fanout
-            # axis — a plain masked softmax, no segment ops.
+            # Positional fast path: attention softmax over the (leading,
+            # lane-major) fanout axis — a plain masked softmax, no
+            # segment ops, all slices stream-aligned.
             F, k = dst_cap, adj.fanout
-            a_lanes = a_s[F:F + F * k].reshape(F, k, H)
-            e = a_lanes + a_d[:, None, :]
+            mT = adj.mask.T[..., None]                          # [k, F, 1]
+            a_lanes = a_s[F:F + F * k].reshape(k, F, H)
+            e = a_lanes + a_d[None, :, :]
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-            e = jnp.where(adj.mask[..., None], e, -jnp.inf)
-            alpha = jax.nn.softmax(e, axis=1)
-            alpha = jnp.where(adj.mask[..., None], alpha, 0)
-            lanes = xw[F:F + F * k].reshape(F, k, H, C)
-            out = (lanes * alpha[..., None]).sum(axis=1)        # [F, H, C]
+            e = jnp.where(mT, e, -jnp.inf)
+            alpha = jax.nn.softmax(e, axis=0)
+            alpha = jnp.where(mT, alpha, 0)
+            lanes = xw[F:F + F * k].reshape(k, F, H, C)
+            out = (lanes * alpha[..., None]).sum(axis=0)        # [F, H, C]
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]
             e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
@@ -183,16 +190,17 @@ class GCNConv(nn.Module):
         inv_s = jax.lax.rsqrt(jnp.maximum(degree_src.astype(xw.dtype), 1))
         inv_d = jax.lax.rsqrt(jnp.maximum(degree_dst.astype(xw.dtype), 1))
         if _is_csr(adj):
-            # Full-graph block: pre/post degree scaling around the fused
-            # Pallas sum-SpMM (ops/spmm.py).
+            # Full-graph block: pre/post degree scaling around the
+            # bucketed sum-SpMM (ops/spmm.py).
             from ..ops.spmm import spmm_csr
             out = spmm_csr(adj.indptr, adj.indices, xw * inv_s[:, None],
-                           aggr="sum") * inv_d[:, None]
+                           aggr="sum",
+                           plan=getattr(adj, "plan", None)) * inv_d[:, None]
         elif _is_dense(adj):
             F, k = dst_cap, adj.fanout
-            lanes = (xw * inv_s[:, None])[F:F + F * k].reshape(F, k, -1)
-            m = adj.mask[..., None].astype(xw.dtype)
-            out = (lanes * m).sum(1) * inv_d[:, None]
+            lanes = (xw * inv_s[:, None])[F:F + F * k].reshape(k, F, -1)
+            m = adj.mask.T[..., None].astype(xw.dtype)
+            out = (lanes * m).sum(0) * inv_d[:, None]
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]
             msgs = jnp.take(xw * inv_s[:, None], src, axis=0)
@@ -225,11 +233,11 @@ class RGCNConv(nn.Module):
         out = jnp.zeros((dst_cap, self.out_features), x_src.dtype)
         if _is_dense(adj):
             # edge_type: [F, fanout] aligned with the block lanes
-            lanes, m = _dense_neighbors(x_src, adj)
+            lanes, m = _dense_neighbors(x_src, adj)       # [k, F, ·]
             for r in range(R):
-                mr = (m[..., 0] & (edge_type == r))[..., None]
+                mr = (m[..., 0] & (edge_type.T == r))[..., None]
                 mrf = mr.astype(x_src.dtype)
-                agg = (lanes * mrf).sum(1) / jnp.maximum(mrf.sum(1), 1)
+                agg = (lanes * mrf).sum(0) / jnp.maximum(mrf.sum(0), 1)
                 out = out + agg @ w[r]
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]

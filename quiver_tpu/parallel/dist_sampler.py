@@ -105,8 +105,8 @@ def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int,
             outs.append((m_o[None], s_o[None],
                          jnp.sum(f_valid).astype(jnp.int32)[None]))
             frontier = jnp.concatenate(
-                [frontier, jnp.where(m_o, nbr_o, 0).reshape(-1)])
-            f_valid = jnp.concatenate([f_valid, m_o.reshape(-1)])
+                [frontier, jnp.where(m_o, nbr_o, 0).T.reshape(-1)])
+            f_valid = jnp.concatenate([f_valid, m_o.T.reshape(-1)])
         return frontier[None], outs
 
     return jax.jit(shard_map(

@@ -86,8 +86,8 @@ class CPUSampler:
                     mask=mask, e_id=e_id,
                     dst_count=np.int32(f_valid.sum()),
                     size=(F * (1 + k), F), fanout=k))
-                frontier = np.concatenate([frontier, nbr.reshape(-1)])
-                f_valid = np.concatenate([f_valid, mask.reshape(-1)])
+                frontier = np.concatenate([frontier, nbr.T.reshape(-1)])
+                f_valid = np.concatenate([f_valid, mask.T.reshape(-1)])
                 continue
             mask = np.zeros((F, k), bool)
             e_id = np.zeros((F, k), np.int64)
@@ -101,8 +101,8 @@ class CPUSampler:
                 mask=mask, e_id=e_id,
                 dst_count=np.int32(f_valid.sum()),
                 size=(F * (1 + k), F), fanout=k))
-            frontier = np.concatenate([frontier, nbr.reshape(-1)])
-            f_valid = np.concatenate([f_valid, mask.reshape(-1)])
+            frontier = np.concatenate([frontier, nbr.T.reshape(-1)])
+            f_valid = np.concatenate([f_valid, mask.T.reshape(-1)])
         return SampledBatch(n_id=frontier.astype(np.int32),
                             n_count=np.int32(frontier.shape[0]),
                             batch_size=bs, seed_count=np.int32(n),

@@ -71,8 +71,10 @@ def generate_neighbour_num(sampler, nodes=None, batch_size: int = 1024,
 def _seed_map(bs: int, prior_ks) -> np.ndarray:
     """Seed index of every frontier row after hops ``prior_ks``:
     frontier_0 = seeds; frontier_{l+1} = [frontier_l | lanes], where lane
-    (i, j) inherits row i's seed."""
+    (i, j) inherits row i's seed. Lanes are appended LANE-MAJOR (lane
+    slot j of all rows contiguous, sampler.py DenseBlock), so the lane
+    portion tiles the row map k times."""
     m = np.arange(bs)
     for k in prior_ks:
-        m = np.concatenate([m, np.repeat(m, k)])
+        m = np.concatenate([m, np.tile(m, k)])
     return m

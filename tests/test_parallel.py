@@ -98,7 +98,7 @@ def test_dist_sampler_ground_truth():
             for i in range(F):
                 gid = int(n_id[i])
                 valid = mask[i]
-                got = [int(n_id[F + i * k + j]) for j in range(k) if valid[j]]
+                got = [int(n_id[F + j * F + i]) for j in range(k) if valid[j]]
                 deg = len(adj_sets[gid])
                 if i < int(blk.dst_count) and (li == 0 or True):
                     # sampled neighbors must be true neighbors
@@ -249,7 +249,7 @@ def test_build_shards_and_from_shards(tmp_path):
         nbrs = set(indices[indptr[gid]:indptr[gid + 1]].tolist())
         for j in range(k):
             if mask[i, j]:
-                assert int(n_id[F + i * k + j]) in nbrs
+                assert int(n_id[F + j * F + i]) in nbrs
 
 
 def test_dist_sampler_bucketed_request_capacity():
@@ -301,4 +301,4 @@ def test_dist_sampler_bucketed_request_capacity():
         nbrs = set(indices[indptr[gid]:indptr[gid + 1]].tolist())
         for j in range(k):
             if mask[i, j]:
-                assert int(n_id[F + i * k + j]) in nbrs
+                assert int(n_id[F + j * F + i]) in nbrs

@@ -215,7 +215,7 @@ def test_dense_mode_subset_validity(mode):
             # valid dst row iff its id is a real row (masked rows clamp to 0)
             for j in range(k):
                 if mask[i, j]:
-                    lane_row = F + i * k + j
+                    lane_row = F + j * F + i
                     nbr = int(n_id[lane_row])
                     assert nbr in edges[gid]
                     # e_id is the CSR slot of that edge (in the
@@ -279,7 +279,7 @@ def test_window_sampling_uniform_marginals():
             F = blk.size[1]
             n_id = np.asarray(b.n_id)
             m = np.asarray(blk.mask)[0]
-            lanes = n_id[F: F + k][m[:k]]
+            lanes = n_id[F::F][:k][m[:k]]
             counts[lanes] += 1
     freq = counts[1:] / (n_shuffles * trials)
     np.testing.assert_allclose(freq, k / deg, atol=0.06)
@@ -304,7 +304,7 @@ def test_window_reshuffle_changes_layout():
     for i in range(8):
         gid = int(n_id[i])
         true_nbrs = set(topo.indices[topo.indptr[gid]:topo.indptr[gid+1]].tolist())
-        got = [int(n_id[F + i*k + j]) for j in range(k) if mask[i, j]]
+        got = [int(n_id[F + j*F + i]) for j in range(k) if mask[i, j]]
         assert set(got) <= true_nbrs
 
 
@@ -321,7 +321,7 @@ def test_window_vs_exact_same_contract():
         mask = np.asarray(blk.mask)
         for i in range(4):
             gid = int(n_id[i])
-            got = [int(n_id[F + i * k + j]) for j in range(k) if mask[i, j]]
+            got = [int(n_id[F + j * F + i]) for j in range(k) if mask[i, j]]
             assert len(got) == min(len(edges[gid]), k), (strat, gid, got)
             assert set(got) <= set(edges[gid]), (strat, gid, got)
             # window without replacement within a draw
@@ -345,7 +345,7 @@ def test_weighted_alias_distribution_dense():
         F = blk.size[1]
         n_id = np.asarray(b.n_id)
         m = np.asarray(blk.mask)[0]
-        np.add.at(counts, n_id[F:F + k][m[:k]], 1)  # count repeats!
+        np.add.at(counts, n_id[F::F][:k][m[:k]], 1)  # count repeats!
     freq = counts[1:] / counts.sum()
     np.testing.assert_allclose(freq, w / w.sum(), atol=0.04)
 
@@ -372,7 +372,7 @@ def test_packed_sampling_contract(strat):
             gid = int(n_id[i])
             if gid not in edges:
                 continue
-            got = [int(n_id[F + i * k + j]) for j in range(k) if mask[i, j]]
+            got = [int(n_id[F + j * F + i]) for j in range(k) if mask[i, j]]
             assert set(got) <= set(edges[gid]), (li, gid, got)
             if li == 0 and i < 3:
                 assert len(got) == min(len(edges[gid]), k)
@@ -400,7 +400,7 @@ def test_packed_uniform_marginals_over_shuffles():
             F = blk.size[1]
             n_id = np.asarray(b.n_id)
             m = np.asarray(blk.mask)[0]
-            np.add.at(counts, n_id[F:F + k][m[:k]], 1)
+            np.add.at(counts, n_id[F::F][:k][m[:k]], 1)
     freq = counts[1:] / (n_shuffles * trials)
     np.testing.assert_allclose(freq, k / deg, atol=0.07)
 
