@@ -15,6 +15,20 @@ The robust pattern is ``chain_time``: run N iterations INSIDE one jit
 via ``lax.fori_loop``, perturbing the input with a carry-dependent
 zero so every iteration depends on the previous one, then subtract one
 ``rtt`` from the wall time. This measures pure device time.
+
+Two further hazards (both hit in round 3):
+
+3. The perturbation ``x + (s*0)`` is free ONLY when the consumer can
+   fuse it (elementwise/reduce). A pallas_call or gather consumer
+   forces XLA to MATERIALIZE the perturbed copy — for a 553 MB operand
+   that's ~1.6 ms/iter of phantom traffic. Fix: pass the SMALLEST
+   input that forces re-execution as the chained (first) argument
+   (e.g. the [k, F] mask, not the [F*(1+k), D] features).
+4. The chained argument must be a FLOAT array: for bools/ints XLA
+   folds ``or(x, false)`` / ``add(x, 0)`` away, the loop body becomes
+   loop-invariant, and LICM hoists the whole computation out — the
+   "measurement" then reads one execution divided by N. chain_time
+   rejects non-float chained args for this reason.
 """
 from __future__ import annotations
 
@@ -49,11 +63,16 @@ def rtt() -> float:
 def chain_time(fn, x, *rest, iters: int = 16, out_like=None) -> float:
     """Per-iteration device time of ``fn(x, *rest)``.
 
-    ``fn`` must be jit-traceable; ``x`` a float/int array input that the
-    output depends on. Each loop iteration perturbs ``x`` by a
+    ``fn`` must be jit-traceable; ``x`` a FLOAT array input that the
+    output depends on — pass the smallest such input first (see module
+    docstring hazards 3 and 4). Each loop iteration perturbs ``x`` by a
     carry-dependent zero, defeating both dispatch-result caching and
     loop-invariant hoisting.
     """
+    if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        raise TypeError(
+            "chain_time's chained arg must be float (bool/int perturbations "
+            f"constant-fold and the loop body hoists); got {x.dtype}")
     if out_like is None:
         out_like = jax.eval_shape(fn, x, *rest)
     out0 = jax.tree_util.tree_map(

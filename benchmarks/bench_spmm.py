@@ -1,30 +1,33 @@
 """Aggregation + transform kernel efficiency (the SpMM/SDDMM analogue).
 
-Round-3 methodology note: all timings here are pure DEVICE time via
-chained in-jit loops (benchmarks/_timing.py). Round-2 numbers included
-a ~1.5 ms/iter share of the axon tunnel's ~30 ms host-sync round trip,
-understating every kernel; do not compare r2 and r3 absolute numbers
-without that correction.
+Round-3 methodology: all timings are pure DEVICE time via chained
+in-jit loops (benchmarks/_timing.py), chained on the smallest float
+input that forces re-execution (the [k, F] mask for sampled blocks) —
+chaining on the 553 MB feature operand adds a ~1.6 ms/iter phantom
+copy whenever the consumer is a pallas_call or gather (hazard 3 in
+_timing.py). Round-2 numbers additionally included a ~1.5 ms/iter
+share of the axon tunnel's ~30 ms host-sync round trip; do not compare
+r2 and r3 absolute numbers.
 
 The reference's model compute is PyG scatter-based SpMM; the TPU build
 has two regimes:
 
-- **Sampled-block (training) path**: lane-major dense blocks — lane
-  slot j of all dst rows is one contiguous [F, D] slice, so a SAGE/GAT
-  layer's aggregation is a handful of aligned masked adds that XLA
-  streams at HBM bandwidth (measured 905 GB/s bf16 on this chip; the
-  round-2 dst-major [F, k, D] layout measured 110 GB/s because the
-  fanout axis pads to the sublane tile).
+- **Sampled-block (training) path**: lane-major dense blocks + the
+  double-buffered lane-streaming Pallas kernel (ops/lane_kernels.py):
+  one [TILE, D] DMA per lane stream per grid step, masked f32
+  accumulate, pipelined output. Measured 776 GB/s fwd on this chip
+  (95% of the 819 GB/s read roofline) vs ~250 GB/s for XLA's fused
+  strided k-slice reduce — the layer fwd runs at its traffic floor.
 - **Full-graph (inference) path**: degree-bucketed padded gather
   (ops/spmm.py spmm_csr) vs the XLA gather+segment oracle and vs the
   per-edge-DMA Pallas kernel (spmm_csr_dma, kept as the measured
-  descriptor-bound reference).
+  descriptor-bound reference). Full-graph numbers chain on the feature
+  table itself; the chained copy inflates them ~1.5% (conservative).
 """
 from __future__ import annotations
 
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -47,13 +50,19 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 V5E_HBM_GBPS = 819.0
 
 
-def bench_layer(layer, x, adj, params, flops, bytes_moved, label, iters=16):
+def bench_layer(layer, x, maskf, params, flops, bytes_moved, label,
+                iters=16):
     """Aggregation layers are BANDWIDTH-bound at GNN shapes (a SAGE layer
     reads ~0.5 GB of lane features for ~0.3 GFLOP of matmul), so the
-    meaningful roofline is HBM bytes; TFLOP/s is reported for context."""
-    def fwd(x):
-        return layer.apply(params, x, adj)
-    dt = chain_time(fwd, x, iters=iters)
+    meaningful roofline is HBM bytes; TFLOP/s is reported for context.
+    Chained on the [K, F] f32 mask (1.4 MB/iter of phantom copy, <0.1%).
+    """
+    def fwd(mf, xv):
+        adj = DenseBlock(mask=mf.T > 0, e_id=jnp.zeros((F, K), jnp.int32),
+                         dst_count=jnp.int32(F), size=(F * (1 + K), F),
+                         fanout=K)
+        return layer.apply(params, xv, adj)
+    dt = chain_time(fwd, maskf, x, iters=iters)
     tf = flops / dt / 1e12
     gbps = bytes_moved / dt / 1e9
     print(f"{label}: {dt*1e3:.2f} ms -> {gbps:.0f} GB/s "
@@ -66,12 +75,14 @@ def bench_layer(layer, x, adj, params, flops, bytes_moved, label, iters=16):
 def main():
     print(f"force round-trip: {rtt()*1e3:.1f} ms (subtracted)",
           file=sys.stderr)
-    rng = np.random.default_rng(0)
     n_src = F * (1 + K)
-    x = jnp.asarray(rng.normal(size=(n_src, D_IN)).astype(np.float32)
-                    ).astype(jnp.bfloat16)
-    mask = jnp.asarray(rng.random((F, K)) < 0.95)
-    adj = DenseBlock(mask=mask, e_id=jnp.zeros((F, K), jnp.int32),
+    # on-device data (host->device transfer of 0.5 GB over the axon
+    # tunnel is minutes; generation is milliseconds)
+    x = jax.random.normal(jax.random.PRNGKey(0), (n_src, D_IN),
+                          jnp.bfloat16)
+    maskf = (jax.random.uniform(jax.random.PRNGKey(1), (K, F)) < 0.95
+             ).astype(jnp.float32)
+    adj = DenseBlock(mask=maskf.T > 0, e_id=jnp.zeros((F, K), jnp.int32),
                      dst_count=jnp.int32(F), size=(n_src, F), fanout=K)
 
     bpe = 2  # bf16
@@ -80,7 +91,7 @@ def main():
     sage_flops = 2 * F * D_IN * D_OUT * 2
     # min traffic: read all src rows once + write [F, D_OUT]
     sage_bytes = n_src * D_IN * bpe + F * D_OUT * bpe
-    g_sage = bench_layer(sage, x, adj, p, sage_flops, sage_bytes,
+    g_sage = bench_layer(sage, x, maskf, p, sage_flops, sage_bytes,
                          "SAGEConv fwd")
 
     gat = GATConv(D_OUT // 4, heads=4)
@@ -90,7 +101,17 @@ def main():
     # write [F, D_OUT]
     gat_bytes = (n_src * D_IN + n_src * D_OUT + F * K * D_OUT
                  + F * D_OUT) * bpe
-    g_gat = bench_layer(gat, x, adj, pg, gat_flops, gat_bytes, "GATConv fwd")
+    g_gat = bench_layer(gat, x, maskf, pg, gat_flops, gat_bytes,
+                        "GATConv fwd")
+
+    # fwd+bwd through the lane kernel's custom VJP (the training path)
+    def loss(mf, xv):
+        adj2 = DenseBlock(mask=mf.T > 0, e_id=jnp.zeros((F, K), jnp.int32),
+                          dst_count=jnp.int32(F), size=(n_src, F), fanout=K)
+        return (sage.apply(p, xv, adj2).astype(jnp.float32) ** 2).mean()
+    grad_fn = jax.grad(loss, argnums=1)
+    dt_bwd = chain_time(grad_fn, maskf, x, iters=8)
+    print(f"SAGEConv fwd+bwd: {dt_bwd*1e3:.2f} ms", file=sys.stderr)
 
     # Full-graph aggregation on a power-law graph slice: the bucketed
     # gather engine vs the XLA gather+segment oracle vs the per-edge-DMA
@@ -106,7 +127,7 @@ def main():
     np.cumsum(degg, out=indptr[1:])
     Eg = int(indptr[-1])
     indices = rngg.integers(0, Vg, Eg).astype(np.int32)
-    xg = jnp.asarray(rngg.normal(size=(Vg, 128)).astype(np.float32))
+    xg = jax.random.normal(jax.random.PRNGKey(2), (Vg, 128), jnp.float32)
     ip_j, idx_j = jnp.asarray(indptr, jnp.int32), jnp.asarray(indices)
     plan = build_bucket_plan(indptr, indices)
 
@@ -126,9 +147,9 @@ def main():
 
     # full-graph 4-head GAT through the same bucketed layout (one pass)
     H, C = 4, 32
-    xwg = jnp.asarray(rngg.normal(size=(Vg, H, C)).astype(np.float32))
-    asg = jnp.asarray(rngg.normal(size=(Vg, H)).astype(np.float32))
-    adg = jnp.asarray(rngg.normal(size=(Vg, H)).astype(np.float32))
+    xwg = jax.random.normal(jax.random.PRNGKey(3), (Vg, H, C), jnp.float32)
+    asg = jax.random.normal(jax.random.PRNGKey(4), (Vg, H), jnp.float32)
+    adg = jax.random.normal(jax.random.PRNGKey(5), (Vg, H), jnp.float32)
     dt_gat = chain_time(
         lambda xv: gat_csr(ip_j, idx_j, xv, asg, adg, plan=plan),
         xwg, iters=8)
@@ -137,6 +158,7 @@ def main():
 
     print(json.dumps({"sage_gbps": round(g_sage, 1),
                       "gat_gbps": round(g_gat, 1),
+                      "sage_fwd_bwd_ms": round(dt_bwd * 1e3, 2),
                       "hbm_roofline_gbps": V5E_HBM_GBPS,
                       "fullgraph_xla_ms": round(dt_xla * 1e3, 1),
                       "fullgraph_bucketed_ms": round(dt_bk * 1e3, 1),

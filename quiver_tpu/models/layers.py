@@ -37,20 +37,6 @@ def _is_csr(adj) -> bool:
     return hasattr(adj, "indptr")
 
 
-def _dense_neighbors(x_src, adj):
-    """[k, F, D] lane features + [k, F, 1] mask for a DenseBlock.
-
-    Lane-major: lane slot j of all dst rows is the contiguous slice
-    ``x_src[F + j*F : F + (j+1)*F]`` (DenseBlock layout), so this
-    reshape is free and the reduction over axis 0 streams aligned
-    [F, D] slices at HBM bandwidth — the dst-major [F, k, D] layout
-    measured 8x slower on a v5e (fanout axis pads to the sublane tile).
-    """
-    F, k = adj.size[1], adj.fanout
-    lanes = x_src[F:F + F * k].reshape(k, F, -1)
-    return lanes, adj.mask.T[..., None]
-
-
 class SAGEConv(nn.Module):
     out_features: int
     aggr: str = "mean"            # mean | sum | max
@@ -62,24 +48,14 @@ class SAGEConv(nn.Module):
     def __call__(self, x_src, adj):
         dst_cap = adj.size[1]
         if _is_dense(adj):
-            # Positional fast path: no edge list, no scatter — a masked
-            # VPU reduction over the fanout axis (the TPU analogue of the
-            # reference's warp-per-row aggregate).
-            lanes, m = _dense_neighbors(x_src, adj)
-            mf = m.astype(x_src.dtype)
-            if self.aggr == "mean":
-                agg = (lanes * mf).sum(0) / jnp.maximum(mf.sum(0), 1)
-            elif self.aggr == "sum":
-                agg = (lanes * mf).sum(0)
-            elif self.aggr == "max":
-                # -inf (not finfo.min) as the masked fill so fully-masked
-                # rows (padding, degree-0) are caught by the isfinite
-                # guard and zeroed instead of leaking -3.4e38 downstream.
-                agg = jnp.where(m, lanes, -jnp.inf).max(0)
-                agg = jnp.where(jnp.isfinite(agg), agg,
-                                jnp.zeros((), x_src.dtype))
-            else:
+            # Positional fast path: no edge list, no scatter — the
+            # double-buffered lane-streaming Pallas kernel (or its XLA
+            # formula off-TPU), ops/lane_kernels.py. Measured 776 GB/s
+            # fwd on a v5e vs ~250 GB/s for XLA's strided k-slice fuse.
+            if self.aggr not in ("mean", "sum", "max"):
                 raise ValueError(f"unknown aggr {self.aggr!r}")
+            from ..ops.lane_kernels import lane_aggregate
+            agg = lane_aggregate(x_src, adj.mask, self.aggr)
         elif _is_csr(adj):
             # Full-graph block: degree-bucketed gather SpMM (no scatter,
             # no per-edge descriptors) — ops/spmm.py.
@@ -197,10 +173,10 @@ class GCNConv(nn.Module):
                            aggr="sum",
                            plan=getattr(adj, "plan", None)) * inv_d[:, None]
         elif _is_dense(adj):
-            F, k = dst_cap, adj.fanout
-            lanes = (xw * inv_s[:, None])[F:F + F * k].reshape(k, F, -1)
-            m = adj.mask.T[..., None].astype(xw.dtype)
-            out = (lanes * m).sum(0) * inv_d[:, None]
+            # lane-streaming kernel on the pre-scaled rows (sum aggr)
+            from ..ops.lane_kernels import lane_aggregate
+            out = lane_aggregate(xw * inv_s[:, None], adj.mask,
+                                 "sum") * inv_d[:, None]
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]
             msgs = jnp.take(xw * inv_s[:, None], src, axis=0)
@@ -232,12 +208,12 @@ class RGCNConv(nn.Module):
                        (R, x_src.shape[-1], self.out_features))
         out = jnp.zeros((dst_cap, self.out_features), x_src.dtype)
         if _is_dense(adj):
-            # edge_type: [F, fanout] aligned with the block lanes
-            lanes, m = _dense_neighbors(x_src, adj)       # [k, F, ·]
+            # edge_type: [F, fanout] aligned with the block lanes; one
+            # lane-kernel pass per relation (R is small for hetero GNNs)
+            from ..ops.lane_kernels import lane_aggregate
             for r in range(R):
-                mr = (m[..., 0] & (edge_type.T == r))[..., None]
-                mrf = mr.astype(x_src.dtype)
-                agg = (lanes * mrf).sum(0) / jnp.maximum(mrf.sum(0), 1)
+                mr = adj.mask & (edge_type == r)
+                agg = lane_aggregate(x_src, mr, "mean")
                 out = out + agg @ w[r]
         else:
             src, dst = adj.edge_index[0], adj.edge_index[1]

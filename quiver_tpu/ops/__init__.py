@@ -4,6 +4,7 @@ from .gather import gather_rows, gather_rows_pallas
 from .spmm import (spmm_csr, spmm_csr_reference, CSRBlock, full_graph_csr,
                    gat_csr, gat_csr_reference, BucketPlan, build_bucket_plan,
                    spmm_csr_dma, gat_csr_dma)
+from .lane_kernels import lane_aggregate
 
 __all__ = [
     "union_reindex",
@@ -19,4 +20,5 @@ __all__ = [
     "spmm_csr_reference",
     "CSRBlock",
     "full_graph_csr",
+    "lane_aggregate",
 ]

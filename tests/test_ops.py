@@ -472,3 +472,119 @@ def test_gat_csr_multihead_one_pass_matches_per_head_oracle():
                                  jnp.asarray(a_dst[:, h]))
         np.testing.assert_allclose(got[:, h], np.asarray(want),
                                    rtol=1e-4, atol=1e-5, err_msg=f"head {h}")
+
+
+# ---------------------------------------------------------------------------
+# Lane-major aggregation kernels (ops/lane_kernels.py)
+
+
+def _lane_oracle(x, mask, aggr):
+    F, k = mask.shape
+    lanes = np.asarray(x)[F:F + F * k].reshape(k, F, -1)
+    m = np.asarray(mask).T[..., None]
+    if aggr == "max":
+        out = np.where(m, lanes.astype(np.float64), -np.inf).max(0)
+        return np.where(np.isfinite(out), out, 0.0)
+    acc = (lanes.astype(np.float64) * m).sum(0)
+    if aggr == "mean":
+        acc = acc / np.maximum(m.sum(0), 1)
+    return acc
+
+
+def test_lane_aggregate_matches_oracle_all_aggrs():
+    """Public lane_aggregate vs a numpy oracle, incl. degree-0 rows."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_aggregate
+
+    rng = np.random.default_rng(3)
+    F, k, D = 200, 4, 24
+    x = rng.normal(size=(F * (1 + k), D)).astype(np.float32)
+    mask = rng.random((F, k)) < 0.7
+    mask[:5] = False                      # degree-0 rows -> 0
+    for aggr in ("mean", "sum", "max"):
+        got = np.asarray(lane_aggregate(jnp.asarray(x), jnp.asarray(mask),
+                                        aggr))
+        np.testing.assert_allclose(got, _lane_oracle(x, mask, aggr),
+                                   rtol=1e-5, atol=1e-5, err_msg=aggr)
+    np.testing.assert_array_equal(
+        np.asarray(lane_aggregate(jnp.asarray(x), jnp.asarray(mask),
+                                  "mean"))[0], np.zeros(D, np.float32))
+
+
+def test_lane_kernels_interpret_fwd_bwd_match_xla():
+    """The Pallas fwd/bwd kernels (interpret mode) vs the XLA formulas,
+    including the non-TILE-aligned tail path and bf16."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_kernels as lk
+
+    rng = np.random.default_rng(4)
+    for (F, k, D, dt) in [(520, 5, 128, jnp.float32),
+                          (512 + 48, 3, 64, jnp.bfloat16),
+                          (512, 1, 32, jnp.float32)]:
+        x = jnp.asarray(rng.normal(size=(F * (1 + k), D)).astype(
+            np.float32)).astype(dt)
+        maskf = jnp.asarray((rng.random((k, F)) < 0.8).astype(np.float32))
+        for aggr in ("mean", "sum", "max"):
+            ref = lk._xla_aggregate(x, maskf, aggr)
+            got = lk._fwd_pallas(x, maskf, f=F, k=k, tile=256, aggr=aggr,
+                                 interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"fwd {aggr} F={F}")
+        g = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32)
+                        ).astype(dt)
+        for mean in (True, False):
+            ref = lk._xla_bwd(g, maskf, mean, dt)
+            got = lk._bwd_pallas(g, maskf, f=F, k=k, tile=256, mean=mean,
+                                 interpret=True, dtype=dt)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"bwd mean={mean} F={F}")
+
+
+def test_lane_aggregate_grad_matches_formula():
+    """jax.grad through the custom VJP == grad of the plain formula."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_aggregate
+
+    rng = np.random.default_rng(5)
+    F, k, D = 104, 3, 16
+    x = jnp.asarray(rng.normal(size=(F * (1 + k), D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((F, k)) < 0.8)
+
+    def loss_api(xv, aggr):
+        return (lane_aggregate(xv, mask, aggr) ** 2).sum()
+
+    def loss_ref(xv, aggr):
+        lanes = xv[F:].reshape(k, F, D)
+        mf = mask.T[..., None].astype(xv.dtype)
+        agg = (lanes * mf).sum(0)
+        if aggr == "mean":
+            agg = agg / jnp.maximum(mf.sum(0), 1)
+        return (agg ** 2).sum()
+
+    for aggr in ("mean", "sum"):
+        g1 = jax.grad(loss_api)(x, aggr)
+        g2 = jax.grad(loss_ref)(x, aggr)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5, err_msg=aggr)
+
+
+def test_lane_aggregate_vmap_falls_back():
+    """Under vmap the dispatcher must take the XLA path (manual-DMA
+    kernels have no batching rule); result equals per-example calls."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_aggregate
+
+    rng = np.random.default_rng(6)
+    B, F, k, D = 3, 64, 2, 8
+    xs = jnp.asarray(rng.normal(size=(B, F * (1 + k), D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((F, k)) < 0.8)
+    got = jax.vmap(lambda xv: lane_aggregate(xv, mask, "mean"))(xs)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(got[b]),
+            np.asarray(lane_aggregate(xs[b], mask, "mean")),
+            rtol=1e-6, atol=1e-6)
