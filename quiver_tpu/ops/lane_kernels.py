@@ -58,12 +58,27 @@ def _pick_tile(k: int, d: int, itemsize: int, f: int):
 def _is_batched(x) -> bool:
     """True when tracing under vmap (the manual-DMA kernels have no
     batching rule; the XLA formula serves vmapped callers, e.g. the
-    serving stack's stacked inference)."""
+    serving stack's stacked inference). Walks the whole tracer chain so
+    composed transforms (jvp-of-vmap, jit-of-vmap, ...) that wrap the
+    BatchTracer in an outer tracer are still detected."""
     try:
         from jax.interpreters.batching import BatchTracer
     except ImportError:  # pragma: no cover
         from jax._src.interpreters.batching import BatchTracer
-    return isinstance(x, BatchTracer)
+    seen = 0
+    while isinstance(x, jax.core.Tracer) and seen < 32:
+        if isinstance(x, BatchTracer):
+            return True
+        # descend into the wrapped value (JVPTracer.primal,
+        # DynamicJaxprTracer has no payload -> stop)
+        inner = getattr(x, "primal", None)
+        if inner is None:
+            inner = getattr(x, "val", None)
+        if inner is None:
+            return False
+        x = inner
+        seen += 1
+    return False
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,38 @@ def _spmm_bucketed(plan: BucketPlan, x, *, aggr: str):
     return jnp.take(out_sorted, plan.pos, axis=0)
 
 
+_PLAN_KEEPALIVE = {}
+_WARNED_TRACER = set()
+
+
+def _warn_tracer_fallback(name: str) -> None:
+    if name not in _WARNED_TRACER:
+        _WARNED_TRACER.add(name)
+        import warnings
+        warnings.warn(
+            f"{name}: indptr/indices are jit tracers and no plan was "
+            "given — running the XLA gather+segment reference path. For "
+            "the fused bucketed engine pass plan=build_bucket_plan(...) "
+            "(or use full_graph_csr, whose CSRBlock carries one).",
+            stacklevel=3)
+
+
+def _cached_plan(indptr, indices) -> "BucketPlan":
+    """Memoized plan for eager (non-tracer) callers — plan construction
+    is a device->host sync plus O(E) numpy work, a large silent per-call
+    cost otherwise. Keyed on the identity of the indices buffer (the
+    stable object for a given graph); holds the last few plans alive."""
+    key = id(indices)
+    hit = _PLAN_KEEPALIVE.get(key)
+    if hit is not None and hit[0] is indices:
+        return hit[1]
+    plan = build_bucket_plan(np.asarray(indptr), np.asarray(indices))
+    if len(_PLAN_KEEPALIVE) > 8:          # bound the keepalive set
+        _PLAN_KEEPALIVE.clear()
+    _PLAN_KEEPALIVE[key] = (indices, plan)
+    return plan
+
+
 def spmm_csr(indptr, indices, x, aggr: str = "mean", plan=None,
              interpret: bool = False):
     """Y[v] = aggr_{u in N(v)} x[u] over a CSR graph.
@@ -167,13 +199,12 @@ def spmm_csr(indptr, indices, x, aggr: str = "mean", plan=None,
     if plan is None:
         if isinstance(indptr, jax.core.Tracer) or isinstance(
                 indices, jax.core.Tracer):
-            if aggr == "max":
-                from .segment import segment_max
-                out = spmm_csr_reference(indptr, indices, x, aggr="max")
-            else:
-                out = spmm_csr_reference(indptr, indices, x, aggr=aggr)
-            return out
-        plan = build_bucket_plan(np.asarray(indptr), np.asarray(indices))
+            # Under jit without a plan the fused bucketed engine is
+            # unavailable (plan construction is host-side); fall back to
+            # the XLA gather+segment path and tell the caller once.
+            _warn_tracer_fallback("spmm_csr")
+            return spmm_csr_reference(indptr, indices, x, aggr=aggr)
+        plan = _cached_plan(indptr, indices)
     return _spmm_bucketed(plan, jnp.asarray(x), aggr=aggr)
 
 
@@ -249,13 +280,17 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
     if plan is None:
         if isinstance(indptr, jax.core.Tracer) or isinstance(
                 indices, jax.core.Tracer):
+            # Per-head XLA reference loop (no fused bucketed path under
+            # jit without a plan) — warn once so jitted full-graph
+            # callers know to pass one (CSRBlock.plan).
+            _warn_tracer_fallback("gat_csr")
             outs = [gat_csr_reference(indptr, indices, xw[:, h],
                                       a_src[:, h], a_dst[:, h],
                                       negative_slope)
                     for h in range(xw.shape[1])]
             out = jnp.stack(outs, axis=1)
             return out[:, 0] if single else out
-        plan = build_bucket_plan(np.asarray(indptr), np.asarray(indices))
+        plan = _cached_plan(indptr, indices)
     out = _gat_bucketed(plan, xw, a_src, a_dst,
                         slope=float(negative_slope))
     return out[:, 0] if single else out
