@@ -51,18 +51,28 @@ V5E_HBM_GBPS = 819.0
 
 
 def bench_layer(layer, x, maskf, params, flops, bytes_moved, label,
-                iters=16):
+                iters=16, chain_on="mask"):
     """Aggregation layers are BANDWIDTH-bound at GNN shapes (a SAGE layer
     reads ~0.5 GB of lane features for ~0.3 GFLOP of matmul), so the
     meaningful roofline is HBM bytes; TFLOP/s is reported for context.
-    Chained on the [K, F] f32 mask (1.4 MB/iter of phantom copy, <0.1%).
+
+    chain_on: "mask" chains on the [K, F] f32 mask (1.4 MB/iter phantom
+    copy, <0.1%) — right when the kernel consumes x directly (a
+    perturbed x would be materialized, hazard 3). "x" chains on the
+    features — required when a matmul separates x from the kernel
+    (GATConv's lin): chaining on the mask would leave the matmul
+    loop-invariant and LICM would hoist it out of the measurement,
+    while the matmul consumer fuses the perturbation for free.
     """
     def fwd(mf, xv):
         adj = DenseBlock(mask=mf.T > 0, e_id=jnp.zeros((F, K), jnp.int32),
                          dst_count=jnp.int32(F), size=(F * (1 + K), F),
                          fanout=K)
         return layer.apply(params, xv, adj)
-    dt = chain_time(fwd, maskf, x, iters=iters)
+    if chain_on == "x":
+        dt = chain_time(lambda xv, mf: fwd(mf, xv), x, maskf, iters=iters)
+    else:
+        dt = chain_time(fwd, maskf, x, iters=iters)
     tf = flops / dt / 1e12
     gbps = bytes_moved / dt / 1e9
     print(f"{label}: {dt*1e3:.2f} ms -> {gbps:.0f} GB/s "
@@ -97,12 +107,22 @@ def main():
     gat = GATConv(D_OUT // 4, heads=4)
     pg = gat.init(jax.random.PRNGKey(0), x, adj)
     gat_flops = 2 * n_src * D_IN * D_OUT
-    # min traffic: read src rows, write xw for all rows, read lanes back,
-    # write [F, D_OUT]
-    gat_bytes = (n_src * D_IN + n_src * D_OUT + F * K * D_OUT
+    # min traffic: read src rows + write xw (the lin matmul), then the
+    # flash kernel reads ALL xw rows back (lanes + dst for a_dst) and
+    # writes [F, D_OUT]
+    gat_bytes = (n_src * D_IN + n_src * D_OUT + n_src * D_OUT
                  + F * D_OUT) * bpe
     g_gat = bench_layer(gat, x, maskf, pg, gat_flops, gat_bytes,
-                        "GATConv fwd")
+                        "GATConv fwd", chain_on="x")
+
+    # GAT fwd+bwd through the flash custom VJP (attention training path)
+    def gat_loss(xv, mf):
+        adj2 = DenseBlock(mask=mf.T > 0, e_id=jnp.zeros((F, K), jnp.int32),
+                          dst_count=jnp.int32(F), size=(n_src, F), fanout=K)
+        return (gat.apply(pg, xv, adj2).astype(jnp.float32) ** 2).mean()
+    gat_grad = jax.grad(gat_loss, argnums=0)
+    dt_gat_bwd = chain_time(gat_grad, x, maskf, iters=8)
+    print(f"GATConv fwd+bwd: {dt_gat_bwd*1e3:.2f} ms", file=sys.stderr)
 
     # fwd+bwd through the lane kernel's custom VJP (the training path)
     def loss(mf, xv):
@@ -159,6 +179,7 @@ def main():
     print(json.dumps({"sage_gbps": round(g_sage, 1),
                       "gat_gbps": round(g_gat, 1),
                       "sage_fwd_bwd_ms": round(dt_bwd * 1e3, 2),
+                      "gat_fwd_bwd_ms": round(dt_gat_bwd * 1e3, 2),
                       "hbm_roofline_gbps": V5E_HBM_GBPS,
                       "fullgraph_xla_ms": round(dt_xla * 1e3, 1),
                       "fullgraph_bucketed_ms": round(dt_bk * 1e3, 1),

@@ -73,10 +73,10 @@ def make_trace(rng, n_nodes, count, rate_hz):
 
 
 def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
-             cpu_workers, infer_stacked_fn=None, lane_ms_per_cost=None):
+             cpu_workers, infer_stacked_fn=None, lane_profile=None):
     inq = queue.Queue()
     rb = RequestBatcher(inq, neighbour_num=nn_table, threshold=threshold,
-                        mode=mode, lane_ms_per_cost=lane_ms_per_cost)
+                        mode=mode, lane_profile=lane_profile)
     hybrid = HybridSampler(
         rb.cpu_queue,
         sampler_factory=lambda: NeighborSampler(topo, fanout, mode="CPU",
@@ -108,7 +108,9 @@ def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
         while done < total:
             server.result_queue.get(timeout=300)
             done += 1
-        return server.metrics.summary()
+        s = server.metrics.summary()
+        s["lanes"] = server.metrics.lane_summary()
+        return s
 
     # short functional warmup (shapes are pre-warmed globally in main)
     replay(trace[:16], record=False)
@@ -240,15 +242,25 @@ def main():
     print("amortized probe ms/req (size: device vs cpu-path): " + "  ".join(
         f"{s}: {d*1e3:.1f} vs {c*1e3:.1f}"
         for s, d, c in zip(probe_sizes, dev_t, cpu_t)))
-    # Probes seed the ADAPTIVE router: per-unit-cost lane speeds; at
-    # runtime each request joins the lane with the lower estimated
-    # drain time (queue-pressure balancing), so a lane that drifts
-    # slower sheds load automatically.
-    lane_ms = (sum(d / p for d, p in zip(dev_t, pred_cost)) * 1e3 / 3,
-               sum(c / p for c, p in zip(cpu_t, pred_cost)) * 1e3 / 3)
+    # Probes seed the ADAPTIVE router with a per-lane AFFINE model
+    # t(cost) = fixed_ms + cost * ms_per_cost (least-squares over the
+    # probe points). The fixed term is load-bearing: it is each lane's
+    # per-request floor (dispatch, sampling, stacking), so a request is
+    # shed to the slower lane only when the faster lane's queue drain
+    # time exceeds the slower lane's FULL service time — round 3's
+    # slope-only model underestimated the CPU lane by its floor,
+    # spilled light requests under mild backlog, and those spills
+    # defined auto's p99.
+    def affine_fit(ts):
+        a = np.stack([np.ones(len(pred_cost)), np.asarray(pred_cost)], 1)
+        coef, *_ = np.linalg.lstsq(a, np.asarray(ts) * 1e3, rcond=None)
+        return (max(float(coef[0]), 0.0), max(float(coef[1]), 1e-7))
+
+    lane_profile = {"device": affine_fit(dev_t), "cpu": affine_fit(cpu_t)}
     threshold = 0.0   # unused by the adaptive router
-    print(f"adaptive lane speeds: device {lane_ms[0]:.4f} / "
-          f"cpu {lane_ms[1]:.4f} ms per predicted node")
+    print("adaptive lane models (fixed_ms, ms_per_predicted_node): "
+          f"device {lane_profile['device'][0]:.2f}+{lane_profile['device'][1]:.4f}c / "
+          f"cpu {lane_profile['cpu'][0]:.2f}+{lane_profile['cpu'][1]:.4f}c")
 
     # Interleave replays round-robin across modes so transport drift
     # (which swings per-dispatch latency over minutes on this shared
@@ -260,7 +272,7 @@ def main():
                 mode, trace, topo, args.fanout, nn_table, threshold,
                 infer_fn, args.cpu_workers,
                 infer_stacked_fn=infer_stacked_fn,
-                lane_ms_per_cost=lane_ms))
+                lane_profile=lane_profile))
     results = {}
     for mode in args.modes:
         rs = sorted(all_runs[mode], key=lambda r: r["p99_ms"])
@@ -269,6 +281,13 @@ def main():
               f"p99 {m['p99_ms']:7.1f} ms   "
               f"{m['throughput_rps']:6.1f} req/s   "
               f"{m['seeds_per_s']:7.0f} seeds/s")
+        for lane, ls in m.get("lanes", {}).items():
+            phases = "  ".join(
+                f"{k.replace('_ms','')} p99 {v['p99_ms']:.0f}"
+                for k, v in ls.items()
+                if isinstance(v, dict) and "p99_ms" in v)
+            print(f"         lane {lane:>6}: n={ls['requests']:4d} "
+                  f"p99 {ls['p99_ms']:7.1f} ms   [{phases}]")
 
     if {"auto", "device", "cpu"} <= results.keys():
         a, d, c = results["auto"], results["device"], results["cpu"]
@@ -276,13 +295,19 @@ def main():
               f"vs cpu-only: {c['p99_ms']/a['p99_ms']:.2f}x  "
               f"(>1 = auto wins)")
         import json
+        def _round(v):
+            if isinstance(v, dict):
+                return {k: _round(x) for k, x in v.items()}
+            return round(v, 1) if isinstance(v, float) else v
+
         art = {
             "metric": "serving_p99_ab",
             "offered_rate_rps": args.rate,
             "requests": args.requests,
-            "lane_ms_per_cost": [round(v, 5) for v in lane_ms],
-            "modes": {k: {kk: round(vv, 1) for kk, vv in v.items()}
-                      for k, v in results.items()},
+            "lane_profile_fixed_ms_and_ms_per_cost":
+                {k: [round(x, 5) for x in v]
+                 for k, v in lane_profile.items()},
+            "modes": {k: _round(v) for k, v in results.items()},
             "auto_p99_win_vs_device": round(d["p99_ms"] / a["p99_ms"], 2),
             "auto_p99_win_vs_cpu": round(c["p99_ms"] / a["p99_ms"], 2),
         }

@@ -103,44 +103,43 @@ class GATConv(nn.Module):
         H, C = self.heads, self.out_features
         dst_cap = adj.size[1]
 
-        xw = nn.Dense(H * C, use_bias=False, name="lin")(x_src)
-        xw = xw.reshape(-1, H, C)
+        xw2 = nn.Dense(H * C, use_bias=False, name="lin")(x_src)  # [N, HC]
         att_src = self.param("att_src", nn.initializers.glorot_uniform(),
                              (1, H, C))
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(),
                              (1, H, C))
-        a_s = (xw * att_src).sum(-1)          # [N, H]
-        a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
 
-        if _is_csr(adj):
-            # Full-graph block: fused SDDMM + edge softmax + weighted
-            # SpMM over the bucketed layout, ALL heads in one pass (one
-            # gather serves every head) — ops/spmm.py gat_csr.
-            from ..ops.spmm import gat_csr
-            out = gat_csr(adj.indptr, adj.indices, xw, a_s, a_d,
-                          self.negative_slope,
-                          plan=getattr(adj, "plan", None))  # [V, H, C]
-        elif _is_dense(adj):
-            # Positional fast path: attention softmax over the (leading,
-            # lane-major) fanout axis — a plain masked softmax, no
-            # segment ops, all slices stream-aligned.
-            F, k = dst_cap, adj.fanout
-            mT = adj.mask.T[..., None]                          # [k, F, 1]
-            a_lanes = a_s[F:F + F * k].reshape(k, F, H)
-            e = a_lanes + a_d[None, :, :]
-            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-            e = jnp.where(mT, e, -jnp.inf)
-            alpha = jax.nn.softmax(e, axis=0)
-            alpha = jnp.where(mT, alpha, 0)
-            lanes = xw[F:F + F * k].reshape(k, F, H, C)
-            out = (lanes * alpha[..., None]).sum(axis=0)        # [F, H, C]
+        if _is_dense(adj):
+            # Positional fast path: single-pass flash-GAT over the
+            # lane-major block (ops/gat_kernels.py) — fused SDDMM +
+            # masked softmax + weighted accumulate for all heads, with
+            # a custom VJP so training streams at HBM bandwidth (the
+            # XLA formula runs off-TPU / for unaligned shapes).
+            from ..ops.gat_kernels import flash_gat_lane
+            out = flash_gat_lane(xw2, att_src.reshape(1, H * C),
+                                 att_dst.reshape(1, H * C), adj.mask,
+                                 heads=H,
+                                 negative_slope=self.negative_slope)
+            out = out.reshape(dst_cap, H, C)
         else:
-            src, dst = adj.edge_index[0], adj.edge_index[1]
-            e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
-            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-            alpha = segment_softmax(e, dst, dst_cap, adj.mask)  # [E, H]
-            msgs = jnp.take(xw, src, axis=0) * alpha[..., None]  # [E, H, C]
-            out = segment_sum(msgs, dst, dst_cap, adj.mask)     # [dst, H, C]
+            xw = xw2.reshape(-1, H, C)
+            a_s = (xw * att_src).sum(-1)            # [N, H]
+            a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
+            if _is_csr(adj):
+                # Full-graph block: fused SDDMM + edge softmax +
+                # weighted SpMM over the bucketed layout, ALL heads in
+                # one pass (one gather serves every head) — gat_csr.
+                from ..ops.spmm import gat_csr
+                out = gat_csr(adj.indptr, adj.indices, xw, a_s, a_d,
+                              self.negative_slope,
+                              plan=getattr(adj, "plan", None))  # [V, H, C]
+            else:
+                src, dst = adj.edge_index[0], adj.edge_index[1]
+                e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
+                e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+                alpha = segment_softmax(e, dst, dst_cap, adj.mask)  # [E, H]
+                msgs = jnp.take(xw, src, axis=0) * alpha[..., None]
+                out = segment_sum(msgs, dst, dst_cap, adj.mask)  # [dst, H, C]
 
         if self.concat:
             out = out.reshape(dst_cap, H * C)

@@ -5,6 +5,7 @@ from .spmm import (spmm_csr, spmm_csr_reference, CSRBlock, full_graph_csr,
                    gat_csr, gat_csr_reference, BucketPlan, build_bucket_plan,
                    spmm_csr_dma, gat_csr_dma)
 from .lane_kernels import lane_aggregate
+from .gat_kernels import flash_gat_lane
 
 __all__ = [
     "union_reindex",
@@ -21,4 +22,5 @@ __all__ = [
     "CSRBlock",
     "full_graph_csr",
     "lane_aggregate",
+    "flash_gat_lane",
 ]

@@ -34,26 +34,66 @@ _STOP = object()
 
 @dataclass
 class ServerMetrics:
-    """Latency/throughput accounting (reference serving.py:307-323)."""
+    """Latency/throughput accounting, split per lane and per phase
+    (the reference's InferenceServer_Debug keeps per-phase and
+    per-worker pools, serving.py:307-360; one pooled latency list can't
+    explain WHERE a p99 loss comes from).
+
+    Each record carries the serving lane ("device" = sampled+inferred
+    on-chip, "cpu" = presampled by the CPU pool) and optional phase
+    durations (e.g. sample_ms measured in the CPU worker, service_ms
+    around the device dispatch); queue wait is the remainder.
+    """
     latencies_ms: List[float] = field(default_factory=list)
     batch_sizes: List[int] = field(default_factory=list)
+    lanes: List[str] = field(default_factory=list)
+    phases: List[dict] = field(default_factory=list)
     started: float = field(default_factory=time.time)
 
-    def record(self, t_enqueue: float, n: int):
+    def record(self, t_enqueue: float, n: int, lane: str = "device",
+               phase_ms: Optional[dict] = None):
         self.latencies_ms.append((time.time() - t_enqueue) * 1e3)
         self.batch_sizes.append(n)
+        self.lanes.append(lane)
+        self.phases.append(phase_ms or {})
+
+    @staticmethod
+    def _stats(lat) -> dict:
+        lat = np.asarray(lat) if len(lat) else np.zeros(1)
+        return {"avg_ms": float(lat.mean()),
+                "p50_ms": float(np.percentile(lat, 50)),
+                "p99_ms": float(np.percentile(lat, 99))}
 
     def summary(self) -> dict:
-        lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
         dur = max(time.time() - self.started, 1e-9)
-        return {
+        out = {
             "requests": len(self.latencies_ms),
-            "avg_ms": float(lat.mean()),
-            "p50_ms": float(np.percentile(lat, 50)),
-            "p99_ms": float(np.percentile(lat, 99)),
+            **self._stats(self.latencies_ms),
             "throughput_rps": len(self.latencies_ms) / dur,
             "seeds_per_s": float(np.sum(self.batch_sizes) / dur),
         }
+        return out
+
+    def lane_summary(self) -> dict:
+        """Per-lane latency stats + per-phase breakdown (queue wait =
+        total - sum of measured phases). The diagnostic view: a bad
+        overall p99 decomposes into which lane, and within it, whether
+        the time went to queueing, sampling, or device service."""
+        out = {}
+        for lane in sorted(set(self.lanes)):
+            idx = [i for i, l in enumerate(self.lanes) if l == lane]
+            lat = [self.latencies_ms[i] for i in idx]
+            s = {"requests": len(idx), **self._stats(lat)}
+            keys = set().union(*(self.phases[i].keys() for i in idx)) \
+                if idx else set()
+            for key in sorted(keys):
+                vals = [self.phases[i].get(key, 0.0) for i in idx]
+                s[key] = ServerMetrics._stats(vals)
+            waits = [self.latencies_ms[i]
+                     - sum(self.phases[i].values()) for i in idx]
+            s["queue_wait_ms"] = ServerMetrics._stats(waits)
+            out[lane] = s
+        return out
 
 
 class RequestBatcher:
@@ -70,22 +110,37 @@ class RequestBatcher:
 
     def __init__(self, stream_queue: queue.Queue, neighbour_num=None,
                  threshold: float = 0.0, mode: str = "auto",
-                 lane_ms_per_cost=None):
+                 lane_ms_per_cost=None, lane_profile=None):
         self.stream_queue = stream_queue
         self.neighbour_num = (None if neighbour_num is None
                               else np.asarray(neighbour_num))
         self.threshold = threshold
         self.mode = mode
-        # (device_ms, cpu_ms) per unit of predicted cost, measured by
-        # probing each lane in its batched regime. When set, auto
-        # routing becomes QUEUE-PRESSURE-ADAPTIVE: each request joins
-        # the lane with the lower estimated drain time
-        # (backlog cost + own cost) * lane speed — so if one lane slows
-        # down at runtime (transport drift, CPU contention), its queue
-        # grows and traffic shifts away automatically. This replaces
-        # the reference's fixed threshold (serving.py:88-95) with the
-        # adaptive split MixedGraphSageSampler already uses for
-        # training (sage_sampler.py:272-288).
+        # Measured lane models make auto routing QUEUE-PRESSURE-ADAPTIVE
+        # (replacing the reference's fixed threshold, serving.py:88-95):
+        # each request joins the lane with the lower estimated
+        # completion time, so a lane that drifts slower at runtime
+        # (transport drift, CPU contention) sheds load automatically.
+        #
+        #   lane_profile: {"device": (fixed_ms, ms_per_cost),
+        #                  "cpu": (fixed_ms, ms_per_cost)}
+        #   estimate(lane) = fixed_ms + (pending_cost + cost) * ms_per_cost
+        #
+        # The FIXED term is what makes auto never lose to the best
+        # single lane: without it (round-3 behavior) the model
+        # underestimates the slow lane's end-to-end latency by its
+        # per-request floor (sampling + stacking + result path), so
+        # light requests spill there under mild backlog and those
+        # spills define the p99. With it, spilling starts only when the
+        # fast lane's queue drain genuinely exceeds the slow lane's
+        # full service time — exactly when shedding helps.
+        #
+        # lane_ms_per_cost=(dev, cpu) is the legacy slope-only form
+        # (fixed_ms = 0).
+        if lane_profile is None and lane_ms_per_cost is not None:
+            lane_profile = {"device": (0.0, lane_ms_per_cost[0]),
+                            "cpu": (0.0, lane_ms_per_cost[1])}
+        self.lane_profile = lane_profile
         self.lane_ms_per_cost = lane_ms_per_cost
         self.device_queue: queue.Queue = queue.Queue()
         self.cpu_queue: queue.Queue = queue.Queue()
@@ -111,12 +166,12 @@ class RequestBatcher:
         if self.neighbour_num is None:
             return "device", 0.0
         cost = float(np.take(self.neighbour_num, seeds, mode="clip").sum())
-        if self.lane_ms_per_cost is not None:
-            dev_ms, cpu_ms = self.lane_ms_per_cost
-            pend_d = max(self._backlog["device"] - self._drained["device"],
-                         0.0)
-            pend_c = max(self._backlog["cpu"] - self._drained["cpu"], 0.0)
-            go_dev = (pend_d + cost) * dev_ms <= (pend_c + cost) * cpu_ms
+        if self.lane_profile is not None:
+            est = {}
+            for lane, (fixed_ms, ms_per_cost) in self.lane_profile.items():
+                pend = max(self._backlog[lane] - self._drained[lane], 0.0)
+                est[lane] = fixed_ms + (pend + cost) * ms_per_cost
+            go_dev = est["device"] <= est["cpu"]
             return ("device" if go_dev else "cpu"), cost
         return ("device" if cost > self.threshold else "cpu"), cost
 
@@ -190,11 +245,13 @@ class HybridSampler:
                 total += len(nxt[1])
             merged = (np.concatenate([s for _, s, _ in items])
                       if len(items) > 1 else np.asarray(items[0][1]))
+            t0 = time.time()
             batch = sampler.sample(merged)
+            sample_ms = (time.time() - t0) * 1e3
             self.sampled_queue.put(([i[0] for i in items],
                                     [len(i[1]) for i in items],
                                     merged, batch,
-                                    [i[2] for i in items]))
+                                    [i[2] for i in items], sample_ms))
 
 
 class InferenceServer:
@@ -248,10 +305,13 @@ class InferenceServer:
         def add(g):
             if len(g) == 4:                     # legacy single-item tuple
                 req_id, seeds, batch, t_enq = g
-                g = ([req_id], [len(seeds)], seeds, batch, [t_enq])
+                g = ([req_id], [len(seeds)], seeds, batch, [t_enq], 0.0)
             elif not isinstance(g[0], list):
-                req_id, lens, seeds, batch, t_enq = g
-                g = ([req_id], [lens], seeds, batch, [t_enq])
+                req_id, lens, seeds, batch, t_enq = g[:5]
+                g = ([req_id], [lens], seeds, batch, [t_enq],
+                     g[5] if len(g) > 5 else 0.0)
+            elif len(g) == 5:
+                g = (*g, 0.0)
             key = getattr(g[3], "batch_size", g[2].shape[0])
             groups.setdefault(key, []).append(g)
 
@@ -269,15 +329,20 @@ class InferenceServer:
             n += 1
 
         for items in groups.values():
+            t0 = time.time()
             if self.infer_stacked_fn is not None and len(items) > 1:
                 outs = self.infer_stacked_fn([g[2] for g in items],
                                              [g[3] for g in items])
             else:
                 outs = [self.infer_fn(g[2], g[3]) for g in items]
-            for (req_ids, lens, _, _, t_enqs), out in zip(items, outs):
+            infer_ms = (time.time() - t0) * 1e3
+            for (req_ids, lens, _, _, t_enqs, sample_ms), out in zip(items,
+                                                                     outs):
                 off = 0
                 for rid, ln, te in zip(req_ids, lens, t_enqs):
-                    self.metrics.record(te, ln)
+                    self.metrics.record(te, ln, lane="cpu",
+                                        phase_ms={"sample_ms": sample_ms,
+                                                  "infer_ms": infer_ms})
                     if self.on_done is not None:
                         self.on_done(rid)
                     self.result_queue.put((rid, out[off: off + ln]))
@@ -286,17 +351,23 @@ class InferenceServer:
     def _serve_device_items(self, items):
         if len(items) == 1 or not self.coalesce_max_seeds:
             for req_id, seeds, t_enq in items:
+                t0 = time.time()
                 out = self.infer_fn(seeds, None)
-                self.metrics.record(t_enq, len(seeds))
+                svc = (time.time() - t0) * 1e3
+                self.metrics.record(t_enq, len(seeds), lane="device",
+                                    phase_ms={"service_ms": svc})
                 if self.on_done is not None:
                     self.on_done(req_id)
                 self.result_queue.put((req_id, out))
             return
         merged = np.concatenate([s for _, s, _ in items])
+        t0 = time.time()
         outs = self.infer_fn(merged, None)
+        svc = (time.time() - t0) * 1e3
         off = 0
         for req_id, seeds, t_enq in items:
-            self.metrics.record(t_enq, len(seeds))
+            self.metrics.record(t_enq, len(seeds), lane="device",
+                                phase_ms={"service_ms": svc})
             if self.on_done is not None:
                 self.on_done(req_id)
             self.result_queue.put((req_id, outs[off: off + len(seeds)]))

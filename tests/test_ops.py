@@ -588,3 +588,154 @@ def test_lane_aggregate_vmap_falls_back():
             np.asarray(got[b]),
             np.asarray(lane_aggregate(xs[b], mask, "mean")),
             rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Flash-GAT lane kernels (ops/gat_kernels.py)
+
+
+def _flash_gat_numpy_oracle(x, asr, adr, mask, H, slope):
+    """Per-(row, head) softmax attention over valid lanes, float64."""
+    F, k = mask.shape
+    HC = x.shape[1]
+    C = HC // H
+    xr = np.asarray(x, np.float64).reshape(-1, H, C)
+    a_s = (xr * asr.reshape(1, H, C)).sum(-1)
+    a_d = (xr[:F] * adr.reshape(1, H, C)).sum(-1)
+    out = np.zeros((F, H, C))
+    for i in range(F):
+        for h in range(H):
+            zs, vs = [], []
+            for j in range(k):
+                if mask[i, j]:
+                    z = a_s[F + j * F + i, h] + a_d[i, h]
+                    zs.append(z if z >= 0 else slope * z)
+                    vs.append(xr[F + j * F + i, h])
+            if zs:
+                za = np.array(zs)
+                w = np.exp(za - za.max())
+                w /= w.sum()
+                out[i, h] = (np.stack(vs) * w[:, None]).sum(0)
+    return out.reshape(F, HC)
+
+
+def test_flash_gat_xla_matches_numpy_oracle():
+    """The XLA formula (the fallback + the source of truth for the
+    kernels) vs a per-edge float64 numpy oracle, incl. degree-0 rows."""
+    from quiver_tpu.ops import flash_gat_lane
+
+    rng = np.random.default_rng(7)
+    F, k, H, C = 96, 4, 2, 64
+    x = rng.normal(size=(F * (1 + k), H * C)).astype(np.float32)
+    asr = rng.normal(size=(1, H * C)).astype(np.float32)
+    adr = rng.normal(size=(1, H * C)).astype(np.float32)
+    mask = rng.random((F, k)) < 0.7
+    mask[3] = False                                 # degree-0 row
+    got = np.asarray(flash_gat_lane(jnp.asarray(x), jnp.asarray(asr),
+                                    jnp.asarray(adr), jnp.asarray(mask),
+                                    heads=H, negative_slope=0.2))
+    ref = _flash_gat_numpy_oracle(x, asr, adr, mask, H, 0.2)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    assert np.all(got[3] == 0)                      # empty row -> 0
+
+
+def test_flash_gat_interpret_fwd_bwd_match_xla():
+    """The Pallas fwd/bwd kernels (interpret mode) vs the XLA formulas
+    and vs autodiff of the XLA forward, f32 and bf16."""
+    from quiver_tpu.ops import gat_kernels as gk
+
+    rng = np.random.default_rng(8)
+    F, k, H, C = 512, 3, 4, 64
+    HC = H * C
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(F * (1 + k), HC)).astype(
+            np.float32)).astype(dt)
+        asr = jnp.asarray(rng.normal(size=(1, HC)).astype(np.float32))
+        adr = jnp.asarray(rng.normal(size=(1, HC)).astype(np.float32))
+        mask = rng.random((k, F)) < 0.8
+        mask[:, 0] = False
+        maskf = jnp.asarray(mask.astype(np.float32))
+        # bf16 kernels compute logits from bf16 products (the XLA
+        # formula uses f32): a logit landing on the LeakyReLU kink or a
+        # softmax near-tie can flip, so allow wider bf16 slack
+        tol = dict(rtol=1e-5, atol=1e-5) if dt == jnp.float32 else \
+            dict(rtol=0.15, atol=0.12)
+
+        out_x, m, s, a_d = gk._xla_gat_fwd(x, asr, adr, maskf, h=H,
+                                           slope=0.2)
+        out_p, m_p, s_p, ad_p = gk._fwd_pallas(
+            x, asr, adr, maskf, f=F, k=k, tile=256, h=H, slope=0.2,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                                   np.asarray(out_x, np.float32), **tol)
+        np.testing.assert_allclose(np.asarray(ad_p), np.asarray(a_d),
+                                   **tol)
+
+        g = jnp.asarray(rng.normal(size=(F, HC)).astype(np.float32)
+                        ).astype(dt)
+
+        def f_pure(x_, asr_, adr_):
+            o, _, _, _ = gk._xla_gat_fwd(x_, asr_, adr_, maskf, h=H,
+                                         slope=0.2)
+            return (o.astype(jnp.float32) * g.astype(jnp.float32)).sum()
+
+        gx, gasr, gadr = jax.grad(f_pure, argnums=(0, 1, 2))(x, asr, adr)
+        # bwd consumes ITS OWN forward's residuals (m/s must match the
+        # recomputed logits' compute dtype)
+        dx_p, dasr_p, dadr_p = gk._bwd_pallas(
+            g, out_p, m_p, s_p, ad_p, x, asr, adr, maskf, f=F, k=k,
+            tile=256, h=H, slope=0.2, interpret=True)
+        # bf16 bwd: a logit whose bf16 product lands on the other side
+        # of the LeakyReLU kink gets slope 1 vs 0.2 in leaky' — a few
+        # isolated grad elements can differ by up to ~1/slope
+        btol = dict(rtol=1e-4, atol=1e-4) if dt == jnp.float32 else \
+            dict(rtol=0.2, atol=0.5)
+        np.testing.assert_allclose(np.asarray(dx_p, np.float32),
+                                   np.asarray(gx, np.float32), **btol)
+        # attention-param grads sum over all F*k lanes: isolated bf16
+        # kink flips add O(1) absolute error to O(sqrt(F*k)) sums, so
+        # bound them relative to the grad's overall scale
+        for got_g, ref_g in ((dasr_p, gasr), (dadr_p, gadr)):
+            got_g, ref_g = np.asarray(got_g), np.asarray(ref_g)
+            scale = max(np.abs(ref_g).max(), 1e-6)
+            frac = 1e-4 if dt == jnp.float32 else 5e-2
+            assert np.abs(got_g - ref_g).max() <= frac * scale, \
+                f"param grad off by {np.abs(got_g - ref_g).max()} " \
+                f"(scale {scale}, dt={dt})"
+
+
+def test_flash_gat_grad_matches_autodiff():
+    """jax.grad through the public custom VJP == autodiff of the plain
+    formula (XLA path on CPU), for x and both attention vectors."""
+    from quiver_tpu.ops import flash_gat_lane
+
+    rng = np.random.default_rng(9)
+    F, k, H, C = 64, 3, 2, 64
+    HC = H * C
+    x = jnp.asarray(rng.normal(size=(F * (1 + k), HC)).astype(np.float32))
+    asr0 = jnp.asarray(rng.normal(size=(1, HC)).astype(np.float32))
+    adr0 = jnp.asarray(rng.normal(size=(1, HC)).astype(np.float32))
+    mask = jnp.asarray(rng.random((F, k)) < 0.8)
+
+    def loss_api(xv, a1, a2):
+        o = flash_gat_lane(xv, a1, a2, mask, heads=H, negative_slope=0.2)
+        return (o ** 2).sum()
+
+    def loss_ref(xv, a1, a2):
+        xr = xv.reshape(-1, H, C)
+        a_s = (xr * a1.reshape(1, H, C)).sum(-1)
+        a_d = (xr[:F] * a2.reshape(1, H, C)).sum(-1)
+        lanes = xv[F:].reshape(k, F, H, C)
+        e = a_s[F:].reshape(k, F, H) + a_d[None]
+        e = jnp.where(e >= 0, e, 0.2 * e)
+        e = jnp.where(mask.T[..., None], e, -jnp.inf)
+        alpha = jax.nn.softmax(e, axis=0)
+        alpha = jnp.where(mask.T[..., None], alpha, 0)
+        o = (lanes * alpha[..., None]).sum(0).reshape(F, HC)
+        return (o ** 2).sum()
+
+    g1 = jax.grad(loss_api, argnums=(0, 1, 2))(x, asr0, adr0)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, asr0, adr0)
+    for a, b, nm in zip(g1, g2, ("dx", "dasr", "dadr")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=3e-4, err_msg=nm)
