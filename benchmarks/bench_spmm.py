@@ -104,7 +104,7 @@ def main():
     g_sage = bench_layer(sage, x, maskf, p, sage_flops, sage_bytes,
                          "SAGEConv fwd")
 
-    gat = GATConv(D_OUT // 4, heads=4)
+    gat = GATConv(D_OUT // 4, heads=4, dtype=jnp.bfloat16)
     pg = gat.init(jax.random.PRNGKey(0), x, adj)
     gat_flops = 2 * n_src * D_IN * D_OUT
     # min traffic: read src rows + write xw (the lin matmul), then the

@@ -97,13 +97,17 @@ class GATConv(nn.Module):
     concat: bool = True
     negative_slope: float = 0.2
     use_bias: bool = True
+    dtype: object = None          # compute dtype (e.g. jnp.bfloat16);
+    # None = flax promotion (bf16 inputs x f32 params -> f32 compute,
+    # 2x the traffic on the attention stream — set bf16 on hot paths)
 
     @nn.compact
     def __call__(self, x_src, adj):
         H, C = self.heads, self.out_features
         dst_cap = adj.size[1]
 
-        xw2 = nn.Dense(H * C, use_bias=False, name="lin")(x_src)  # [N, HC]
+        xw2 = nn.Dense(H * C, use_bias=False, dtype=self.dtype,
+                       name="lin")(x_src)                         # [N, HC]
         att_src = self.param("att_src", nn.initializers.glorot_uniform(),
                              (1, H, C))
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(),

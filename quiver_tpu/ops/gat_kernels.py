@@ -174,10 +174,18 @@ def _fwd_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
     emat_c = emat.astype(cdt)                                # exact 0/1
     asr_c, adr_c = asr.astype(cdt), adr.astype(cdt)
 
+    # HIGHEST forces true-f32 MXU passes so compiled f32 logits match
+    # the XLA oracle bit-for-bit-ish (default f32 contraction runs at
+    # reduced precision and can flip LeakyReLU kinks); Mosaic rejects
+    # fp32 contract precision on bf16 operands, where bf16 products
+    # with f32 accumulation are the exact semantics anyway.
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def reduce_heads(v):                                     # [tile,hc]->[tile,h]
         return jax.lax.dot_general(v, emat_c, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                                   precision=prec)
 
     def expand_heads(v):                                     # [tile,h]->[tile,hc]
         return jax.lax.dot_general(v, ematT, (((1,), (0,)), ((), ())),
@@ -319,10 +327,13 @@ def _bwd_kernel(mk_ref, g_ref, out_ref, m_ref, s_ref, ad_ref, asr_ref,
     emat_c = emat.astype(cdt)                                # exact 0/1
     asr_c, adr_c = asr.astype(cdt), adr.astype(cdt)
 
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def reduce_heads(v):
         return jax.lax.dot_general(v, emat_c, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                                   precision=prec)
 
     def expand_heads(v):
         return jax.lax.dot_general(v, ematT, (((1,), (0,)), ((), ())),

@@ -5,7 +5,8 @@ from .data_parallel import (
     make_dp_train_step,
     unstack_device,
 )
-from .dist_sampler import DistNeighborSampler, build_graph_shards
+from .dist_sampler import (DistNeighborSampler, build_graph_shards,
+                           make_dist_train_step, partition_feature_shards)
 
 __all__ = [
     "stack_batches",
@@ -15,4 +16,6 @@ __all__ = [
     "unstack_device",
     "DistNeighborSampler",
     "build_graph_shards",
+    "make_dist_train_step",
+    "partition_feature_shards",
 ]

@@ -68,6 +68,52 @@ def main():
                                    feat[ids_per_host[h]], rtol=1e-6)
         checked += 1
     assert checked == len(local_hosts), (checked, local_hosts)
+
+    # DistNeighborSampler ACROSS the real process boundary: the node-
+    # partitioned CSR spans all 4 global devices (2 per process); every
+    # hop's frontier/lane all_to_all crosses Gloo. Ground truth: each
+    # masked lane's neighbor is in the frontier row's true neighbor
+    # set, and lane counts equal min(deg, k) (the reference validates
+    # its sampler the same way, tests/cpp/test_quiver_cpu.cpp:34).
+    from quiver_tpu import CSRTopo
+    from quiver_tpu.parallel import DistNeighborSampler
+
+    grng = np.random.default_rng(3)           # same graph on every process
+    n, deg, k, B = 96, 5, 3, 16
+    rows_g = np.repeat(np.arange(n), deg)
+    cols_g = grng.integers(0, n, n * deg)
+    topo = CSRTopo(edge_index=np.stack([rows_g, cols_g]), num_nodes=n)
+    g2h_s = grng.integers(0, H, n)
+    ds = DistNeighborSampler(mesh, topo, g2h_s, [k, k], seed=1)
+    seeds = np.stack([grng.integers(0, n, B) for _ in range(H)])
+    frontier, blocks = ds.sample_sharded(seeds)
+
+    indptr = np.asarray(topo.indptr)
+    indices = np.asarray(topo.indices)
+    nbr_sets = [set(indices[indptr[v]:indptr[v + 1]].tolist())
+                for v in range(n)]
+    # validate THIS process's addressable shards (global arrays are not
+    # host-readable across processes)
+    fr_shards = {s.device.id: np.asarray(s.data)[0]
+                 for s in frontier.addressable_shards}
+    for li, blk in enumerate(blocks):
+        F = blk.size[1]
+        m_shards = {s.device.id: np.asarray(s.data)[0]
+                    for s in blk.mask.addressable_shards}
+        for did, fr in fr_shards.items():
+            m = m_shards[did]
+            for i in range(F):
+                v = int(fr[i])
+                lanes = int(m[i].sum())
+                # rows only countable where the frontier row is valid:
+                # hop 0 rows are always valid (seeds)
+                if li == 0:
+                    assert lanes == min(int(indptr[v + 1] - indptr[v]),
+                                        k), (li, i, v, lanes)
+                for j in range(k):
+                    if m[i, j]:
+                        nb = int(fr[F + j * F + i])
+                        assert nb in nbr_sets[v], (li, i, j, v, nb)
     print(f"proc {pid}: ok", flush=True)
 
 

@@ -302,3 +302,66 @@ def test_dist_sampler_bucketed_request_capacity():
         for j in range(k):
             if mask[i, j]:
                 assert int(n_id[F + j * F + i]) in nbrs
+
+
+def test_dist_sampler_auto_tight_wire_and_fused_step():
+    """Default (auto-tight) wire sizing: round 1 learns capacities
+    (lossless), later rounds run the fused program at learned caps with
+    ZERO dropped rows and wire <= 2x the information need; and the
+    single-program make_dist_train_step trains (finite falling loss)."""
+    import optax
+    from jax.sharding import Mesh
+    from quiver_tpu import CSRTopo
+    from quiver_tpu.models import GraphSAGE
+    from quiver_tpu.parallel import (DistNeighborSampler,
+                                     make_dist_train_step,
+                                     partition_feature_shards, replicate,
+                                     shard_leading)
+
+    rng = np.random.default_rng(21)
+    V, E, H, B = 3000, 30000, 8, 512
+    row = rng.integers(0, V, E)
+    col = rng.integers(0, V, E)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=V)
+    g2h = rng.integers(0, H, V)
+    mesh = Mesh(np.array(jax.devices()[:H]), ("host",))
+
+    ds = DistNeighborSampler(mesh, topo, g2h, [4, 3], seed=3)
+    seeds = rng.integers(0, V, (H, B))
+    ds.sample_sharded(seeds)                   # round 1: learn capacities
+    caps_learned = ds._learned_caps[B]
+    for _ in range(3):                         # steady state: fused program
+        seeds = rng.integers(0, V, (H, B))
+        ds.sample_sharded(seeds)
+        assert ds.last_caps == caps_learned
+        assert int(np.asarray(ds.last_dropped).max()) == 0
+    hops = ds.collective_bytes_per_hop(B, ds.last_caps)
+    for h in hops:
+        assert h["wire_bytes"] <= 2 * h["need_bytes"], h
+
+    # fused sample->exchange->train step: loss falls over a few steps
+    d = 16
+    feat = rng.normal(size=(V, d)).astype(np.float32)
+    labels = (feat[:, 0] > 0).astype(np.int64)  # learnable signal
+    model = GraphSAGE(hidden_features=16, out_features=2, num_layers=2,
+                      dropout=0.0)
+    batches = ds.sample(seeds)
+    x0 = jnp.asarray(feat)[np.clip(np.asarray(batches[0].n_id), 0, V - 1)]
+    params = model.init(jax.random.PRNGKey(0), x0, batches[0].adjs)
+    tx = optax.adam(1e-2)
+    params = replicate(params, mesh)
+    opt_state = replicate(tx.init(params), mesh)
+    fshards = shard_leading(
+        jnp.asarray(partition_feature_shards(feat, g2h, H)), mesh,
+        axis="host")
+    step = make_dist_train_step(ds, model, tx, batch_size=B)
+    losses = []
+    for t in range(6):
+        seeds = rng.integers(0, V, (H, B))
+        y = shard_leading(jnp.asarray(labels[seeds]), mesh, axis="host")
+        params, opt_state, loss = step(params, opt_state, fshards,
+                                       jnp.asarray(seeds, jnp.int32), y,
+                                       jax.random.PRNGKey(t))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
