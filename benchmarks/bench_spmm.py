@@ -165,13 +165,16 @@ def main():
     dt_dma = timed(lambda xv: spmm_csr_dma(ip_j, idx_j, xv),
                    "full-graph per-edge-DMA Pallas SpMM", iters=3)
 
-    # full-graph 4-head GAT through the same bucketed layout (one pass)
+    # full-graph 4-head GAT through the same bucketed layout (one pass,
+    # the layer contract: source logits recomputed from the gathered
+    # rows via att_src — zero extra gather traffic)
     H, C = 4, 32
     xwg = jax.random.normal(jax.random.PRNGKey(3), (Vg, H, C), jnp.float32)
-    asg = jax.random.normal(jax.random.PRNGKey(4), (Vg, H), jnp.float32)
+    attg = jax.random.normal(jax.random.PRNGKey(4), (H, C), jnp.float32)
     adg = jax.random.normal(jax.random.PRNGKey(5), (Vg, H), jnp.float32)
     dt_gat = chain_time(
-        lambda xv: gat_csr(ip_j, idx_j, xv, asg, adg, plan=plan),
+        lambda xv: gat_csr(ip_j, idx_j, xv, None, adg, plan=plan,
+                           att_src=attg),
         xwg, iters=8)
     print(f"full-graph GAT 4-head fused: {dt_gat*1e3:.1f} ms "
           f"({Eg/dt_gat/1e6:.1f}M edges/s, all heads)", file=sys.stderr)

@@ -136,7 +136,8 @@ class GATConv(nn.Module):
                 from ..ops.spmm import gat_csr
                 out = gat_csr(adj.indptr, adj.indices, xw, a_s, a_d,
                               self.negative_slope,
-                              plan=getattr(adj, "plan", None))  # [V, H, C]
+                              plan=getattr(adj, "plan", None),
+                              att_src=att_src[0])       # [V, H, C]
             else:
                 src, dst = adj.edge_index[0], adj.edge_index[1]
                 e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)

@@ -231,43 +231,61 @@ def spmm_csr_reference(indptr, indices, x, aggr="mean"):
 # axis, and the weighted sum are per-bucket streaming XLA ops.
 
 
-@functools.partial(jax.jit, static_argnames=("slope",))
-def _gat_bucketed(plan: BucketPlan, xw, a_src, a_dst, *, slope: float):
+@functools.partial(jax.jit, static_argnames=("slope", "from_att"))
+def _gat_bucketed(plan: BucketPlan, xw, a_src, a_dst, *, slope: float,
+                  from_att: bool = False):
     V, H, C = xw.shape
-    # ONE row gather serves values AND source logits: a_src rides as H
-    # extra columns of the gathered payload (XLA row gathers are
-    # descriptor-bound, so a second [E]-row gather of a_src would cost
-    # as much as the value gather itself — measured 59 -> ~2x faster
-    # without it).
-    xa = jnp.concatenate([xw.reshape(V, H * C),
-                          a_src.astype(xw.dtype)], axis=1)  # [V, HC+H]
+    # from_att: ``a_src`` is the attention vector [H, C] and per-lane
+    # source logits are recomputed from the gathered value rows (a few
+    # VPU FLOPs per edge) — the value gather stays a 128-lane-aligned
+    # [V, HC] payload and a_src costs ZERO extra HBM traffic. The
+    # alternatives both measured slower on chip: a second [E]-row
+    # gather of a_src (r3, 58.6 ms — row gathers are descriptor-bound)
+    # and riding a_src as H extra payload columns (72.3 ms — the
+    # [V, HC+H] rows break 128-lane alignment and pad to 2x traffic).
+    xw_flat = xw.reshape(V, H * C)
     ad_sorted = jnp.take(a_dst, plan.order, axis=0)        # [V, H]
     outs, off = [], 0
     for (n_b, k_b), idx, deg in zip(plan.shapes, plan.pidx, plan.deg):
         ad_b = jax.lax.dynamic_slice_in_dim(ad_sorted, off, n_b, 0)
         off += n_b
         if k_b == 0:
-            outs.append(jnp.zeros((n_b, H, C), xw.dtype))
+            outs.append(jnp.zeros((n_b, H * C), xw.dtype))
             continue
-        ga = jnp.take(xa, idx, axis=0, mode="clip")        # [k_b, n_b, HC+H]
-        lx = ga[..., :H * C].reshape(k_b, n_b, H, C)
-        las = ga[..., H * C:].astype(a_src.dtype)          # [k_b, n_b, H]
+        lx = jnp.take(xw_flat, idx, axis=0, mode="clip")   # [k_b, n_b, HC]
+        if from_att:
+            las = (lx.reshape(k_b, n_b, H, C).astype(jnp.float32)
+                   * a_src[None, None].astype(jnp.float32)).sum(-1)
+        else:
+            las = jnp.take(a_src, idx, axis=0, mode="clip")
+        # Everything between the gather and the concat stays in FLAT
+        # lane-packed layouts: the softmax chain on [k_b, n_b*H] (free
+        # reshape — H is the minor axis of the (n, h) flattening) and
+        # the weighted reduce on [k_b, n_b, H*C]. The [k_b, n_b, H] /
+        # [n_b, H, C] shapes pad their (4, 32) minor tile to (8, 128) =
+        # 8-32x traffic per materialized temp; flat measured 61 -> 56 ms
+        # on the 2.9M-edge probe graph (gather floor 22.8 ms).
         m = (jax.lax.broadcasted_iota(jnp.int32, (k_b, n_b), 0)
-             < deg[None, :])[..., None]                    # [k_b, n_b, 1]
-        e = (las + ad_b[None, :, :]).astype(jnp.float32)
+             < deg[None, :])                               # [k_b, n_b]
+        mf = jnp.repeat(m, H, axis=1)                      # [k_b, n_b*H]
+        e = (las.reshape(k_b, n_b * H)
+             + ad_b.reshape(1, n_b * H)).astype(jnp.float32)
         e = jnp.where(e >= 0, e, slope * e)
-        e = jnp.where(m, e, -jnp.inf)
+        e = jnp.where(mf, e, -jnp.inf)
         e = e - jnp.max(e, axis=0, keepdims=True)          # stable
-        w = jnp.where(m, jnp.exp(e), 0.0)
-        denom = jnp.maximum(w.sum(0), 1e-30)               # [n_b, H]
+        w = jnp.where(mf, jnp.exp(e), 0.0)
+        denom = jnp.maximum(w.sum(0), 1e-30)               # [n_b*H]
         alpha = (w / denom[None]).astype(xw.dtype)
-        outs.append((lx * alpha[..., None]).sum(0))        # [n_b, H, C]
+        alpha_f = jnp.repeat(alpha.reshape(k_b, n_b, H), C,
+                             axis=2).reshape(k_b, n_b, H * C)
+        outs.append((lx * alpha_f).sum(0))                 # [n_b, HC]
     out_sorted = jnp.concatenate(outs, axis=0)
-    return jnp.take(out_sorted, plan.pos, axis=0)          # [V, H, C]
+    out = jnp.take(out_sorted, plan.pos, axis=0)           # [V, HC]
+    return out.reshape(V, H, C)
 
 
 def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
-            plan=None, interpret: bool = False):
+            plan=None, interpret: bool = False, att_src=None):
     """Fused full-graph GAT aggregation over a CSR graph, ALL heads in
     one pass: out[v,h] = sum_j softmax_j(leakyrelu(a_src[j,h] +
     a_dst[v,h])) * xw[j,h] for j in N(v). Rows with no neighbors
@@ -275,14 +293,25 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
 
     Accepts single-head 2-D inputs (xw [V, C], a_* [V]) or multi-head
     3-D (xw [V, H, C], a_* [V, H]); returns the matching rank.
+
+    ``att_src``: the attention vector ([H, C], or [C] single-head) when
+    the caller computes ``a_src = (xw * att_src).sum(-1)`` (every GAT
+    layer does) — source logits are then recomputed from the gathered
+    value rows instead of read from HBM, the fast path. ``a_src`` is
+    ignored on the bucketed path when given (pass None); the tracer
+    fallback still needs it.
     """
     del interpret
     xw = jnp.asarray(xw)
-    a_src = jnp.asarray(a_src)
     a_dst = jnp.asarray(a_dst)
     single = xw.ndim == 2
+    if att_src is not None and a_src is None:
+        a_src = (xw * att_src).sum(-1)
+    a_src = jnp.asarray(a_src)
     if single:
         xw, a_src, a_dst = xw[:, None, :], a_src[:, None], a_dst[:, None]
+        if att_src is not None:
+            att_src = jnp.asarray(att_src)[None, :]
     if plan is None:
         if isinstance(indptr, jax.core.Tracer) or isinstance(
                 indices, jax.core.Tracer):
@@ -297,8 +326,12 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
             out = jnp.stack(outs, axis=1)
             return out[:, 0] if single else out
         plan = _cached_plan(indptr, indices)
-    out = _gat_bucketed(plan, xw, a_src, a_dst,
-                        slope=float(negative_slope))
+    if att_src is not None:
+        out = _gat_bucketed(plan, xw, jnp.asarray(att_src), a_dst,
+                            slope=float(negative_slope), from_att=True)
+    else:
+        out = _gat_bucketed(plan, xw, a_src, a_dst,
+                            slope=float(negative_slope))
     return out[:, 0] if single else out
 
 

@@ -474,6 +474,40 @@ def test_gat_csr_multihead_one_pass_matches_per_head_oracle():
                                    rtol=1e-4, atol=1e-5, err_msg=f"head {h}")
 
 
+def test_gat_csr_att_src_path_matches_a_src_path():
+    """The att_src fast path (source logits recomputed from the gathered
+    value rows, zero extra gather traffic) must equal the per-node a_src
+    path with a_src = (xw * att).sum(-1) — the GAT layer contract."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops.spmm import gat_csr
+
+    rng = np.random.default_rng(13)
+    V, H, C = 200, 4, 16
+    deg = rng.integers(0, 9, V)
+    deg[7] = 0
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1]))
+    xw = rng.normal(size=(V, H, C)).astype(np.float32)
+    att = rng.normal(size=(H, C)).astype(np.float32)
+    a_dst = rng.normal(size=(V, H)).astype(np.float32)
+    a_src = (xw * att[None]).sum(-1)
+    want = np.asarray(gat_csr(indptr, indices, jnp.asarray(xw),
+                              jnp.asarray(a_src), jnp.asarray(a_dst)))
+    got = np.asarray(gat_csr(indptr, indices, jnp.asarray(xw), None,
+                             jnp.asarray(a_dst),
+                             att_src=jnp.asarray(att)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # single-head rank-2 contract
+    want1 = np.asarray(gat_csr(indptr, indices, jnp.asarray(xw[:, 0]),
+                               jnp.asarray(a_src[:, 0]),
+                               jnp.asarray(a_dst[:, 0])))
+    got1 = np.asarray(gat_csr(indptr, indices, jnp.asarray(xw[:, 0]),
+                              None, jnp.asarray(a_dst[:, 0]),
+                              att_src=jnp.asarray(att[0])))
+    np.testing.assert_allclose(got1, want1, rtol=1e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Lane-major aggregation kernels (ops/lane_kernels.py)
 
