@@ -180,6 +180,15 @@ def sample_adjacency_block_fused(blk, indices, frontier, frontier_valid,
     metadata pass)."""
     N = frontier.shape[0]
     W = blk.shape[1]
+    if W % 128:
+        # Mosaic requires 128-aligned VMEM slices of the block row; a
+        # 64/32-lane table (NeighborSampler's byte-budget fallback,
+        # sampler._pick_block_lanes) compiles in interpret mode but
+        # fails on hardware — caught by tools/tpu_correctness.py. Same
+        # distribution and contract via the staged block-exact kernel.
+        from .kernels import sample_adjacency_block
+        return sample_adjacency_block(blk, indices, frontier,
+                                      frontier_valid, k, key, big_cap)
     if interpret is None:
         interpret = not _on_tpu()   # Mosaic compiles on real TPU only
     nbr, mask, slot, start, deg = sample_block_fused(
