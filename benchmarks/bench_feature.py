@@ -130,6 +130,9 @@ def main():
     store16 = Feature(device_cache_size=budget,
                       cold_transfer_dtype=np.float16)
     store16.from_cpu_tensor(feat, access_prob=w)
+    # direct-f16 FIRST (unconfounded: transfer dtype alone), then
+    # prefetch+f16 (both knobs)
+    mixed16d, _ = bench_mixed(store16, w, label=" +f16-transfer")
     mixed16, _ = bench_mixed(store16, w, prefetch=True,
                              label=" +prefetch+f16-transfer")
 
@@ -158,6 +161,7 @@ def main():
           f"(h2d {h2d:.2f} / miss {miss:.3f})", file=sys.stderr)
     print(json.dumps({"mixed_20pct_gbs": round(mixed, 2),
                       "mixed_prefetch_gbs": round(mixed_pf, 2),
+                      "mixed_direct_f16_gbs": round(mixed16d, 2),
                       "mixed_prefetch_f16_gbs": round(mixed16, 2),
                       "mixed_hit_rate": round(hit, 3),
                       "hbm_gather_gbs": round(full, 2),

@@ -205,18 +205,25 @@ class Feature:
         return 1 << (n - 1).bit_length() if n > 1 else 1
 
     def prefetch(self, n_id) -> None:
-        """Start the host-side work of a future ``self[n_id]`` on a
-        background thread: the cold/disk gather for batch i+1 overlaps
-        batch i's device compute (the stream-overlap the reference gets
-        from CUDA async memcpy). ``__getitem__`` with the same ids
-        consumes the result; different ids fall through to a normal
-        lookup."""
+        """Start the HOST-side work of a future ``self[n_id]`` on a
+        background thread: the cold/disk numpy gather for batch i+1
+        overlaps batch i's device compute (the stream-overlap the
+        reference gets from CUDA async memcpy). ``__getitem__`` with the
+        same ids consumes the result; different ids fall through to a
+        normal lookup.
+
+        Only the numpy phase runs in the background (the threaded native
+        gather releases the GIL); every JAX dispatch — hot gather, H2D
+        transfer, scatter — stays on the CALLING thread at consume time.
+        Running those in the background (round-3 behavior) serialized
+        against the main thread's dispatch lock and made prefetch
+        SLOWER than direct (FEATURE_BENCH r3: 0.08 vs 0.13 GB/s)."""
         import concurrent.futures
         if self._pf_pool is None:
             self._pf_pool = concurrent.futures.ThreadPoolExecutor(1)
         self._drain_prefetch()
         key = np.asarray(n_id)
-        self._pf = (key, self._pf_pool.submit(self._lookup, key))
+        self._pf = (key, self._pf_pool.submit(self._host_phase, key))
 
     def _drain_prefetch(self):
         """Retire an in-flight prefetch whose result won't be used. The
@@ -238,7 +245,7 @@ class Feature:
             key, fut = self._pf
             if np.array_equal(key, np.asarray(n_id)):
                 self._pf = None
-                return fut.result()
+                return self._device_phase(fut.result())
             self._drain_prefetch()
         return self._lookup(n_id)
 
@@ -254,6 +261,13 @@ class Feature:
         host meanwhile, and one scatter overwrites the miss rows on
         device. Host->device traffic is the miss rows only.
         """
+        return self._device_phase(self._host_phase(n_id))
+
+    def _host_phase(self, n_id):
+        """Pure-numpy phase (background-thread safe, no JAX dispatch):
+        id translation, tier split, the native cold/disk gather, and the
+        padded miss buffers. Returns the tuple ``_device_phase`` turns
+        into a device array."""
         ids = np.asarray(n_id).astype(np.int64)
         m = ids.shape[0]
         self.stats["lookups"] += m
@@ -282,17 +296,10 @@ class Feature:
         self.stats["hot_hits"] += m - n_cold
         self.stats["cold_hits"] += n_cold
 
-        # 1) dispatch the device hot gather (async under dispatch)
-        if self.hot_rows > 0:
-            out = _take_clipped(self.hot, jnp.asarray(
-                np.minimum(pos, self.hot_rows - 1).astype(np.int32)))
-        else:
-            out = jnp.zeros((m, self.shape[1]), self.dtype)
-
+        hot_idx = np.minimum(pos, max(self.hot_rows - 1, 0)).astype(np.int32)
         if n_cold == 0:
-            return out
+            return (m, hot_idx, None, None)
 
-        # 2) host gathers the misses while the device works
         from . import native
         miss = ~in_hot
         miss_pos = np.nonzero(miss)[0]
@@ -312,15 +319,26 @@ class Feature:
                            max(len(self.cold) - 1, 0))
             cold_vals = native.gather_rows(self.cold, cidx)
 
-        # 3) pad the miss set to a bucketed width (bounded recompiles)
-        # and scatter onto the device result; padded lanes target row m
-        # -> dropped.
+        # pad the miss set to a bucketed width (bounded recompiles);
+        # padded lanes target row m -> dropped by the scatter.
         cap = self._bucket(n_cold)
         pad_pos = np.full(cap, m, np.int32)
         pad_pos[:n_cold] = miss_pos
         tdt = self.cold_transfer_dtype or cold_vals.dtype
         pad_vals = np.zeros((cap,) + cold_vals.shape[1:], tdt)
         pad_vals[:n_cold] = cold_vals.astype(tdt)
+        return (m, hot_idx, pad_pos, pad_vals)
+
+    def _device_phase(self, host):
+        """JAX phase (calling thread): dispatch the hot gather, ship the
+        padded miss rows, scatter them over the device result."""
+        m, hot_idx, pad_pos, pad_vals = host
+        if self.hot_rows > 0:
+            out = _take_clipped(self.hot, jnp.asarray(hot_idx))
+        else:
+            out = jnp.zeros((m, self.shape[1]), self.dtype)
+        if pad_pos is None:
+            return out
         return _scatter_cold(out, jnp.asarray(pad_pos), jnp.asarray(pad_vals))
 
     def cache_hit_rate(self) -> float:
