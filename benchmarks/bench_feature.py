@@ -69,17 +69,7 @@ def bench_device(table, cw, label, iters=ITERS):
     return gb / dt
 
 
-def bench_mixed(feat_store, w, iters=ITERS, prefetch=False, label=""):
-    """The honest number: ids drawn from the power-law ACCESS
-    distribution over the full id space, through Feature.__getitem__.
-    ``prefetch`` overlaps batch i+1's host gather with batch i."""
-    rng = np.random.default_rng(1)
-    cw = np.cumsum(w / w.sum())
-    id_sets = [np.searchsorted(cw, rng.random(BATCH_IDS)).clip(0, N - 1)
-               for _ in range(iters)]
-    out = feat_store[id_sets[0]]          # warm compile both paths
-    force(out)
-    feat_store.stats = {k: 0 for k in feat_store.stats}
+def _mixed_once(feat_store, id_sets, prefetch):
     t0 = time.time()
     outs = []
     if prefetch:
@@ -90,12 +80,36 @@ def bench_mixed(feat_store, w, iters=ITERS, prefetch=False, label=""):
             feat_store.prefetch(id_sets[i + 1])
         outs.append(out)
     force(outs[-1])
-    dt = time.time() - t0
+    return time.time() - t0
+
+
+def bench_mixed(feat_store, w, iters=ITERS, label="", rounds=5):
+    """The honest number: ids drawn from the power-law ACCESS
+    distribution over the full id space, through Feature.__getitem__.
+
+    Direct and prefetch replays are INTERLEAVED round-robin and each
+    mode reports its median round — this link's H2D rate drifts 3-10x
+    over minutes, so sequential A-then-B comparisons (r2/r3
+    methodology) measured the drift, not the mode."""
+    rng = np.random.default_rng(1)
+    cw = np.cumsum(w / w.sum())
+    id_sets = [np.searchsorted(cw, rng.random(BATCH_IDS)).clip(0, N - 1)
+               for _ in range(iters)]
+    out = feat_store[id_sets[0]]          # warm compile both paths
+    force(out)
+    feat_store.stats = {k: 0 for k in feat_store.stats}
     gb = iters * BATCH_IDS * D * 4 / 1e9
+    times = {False: [], True: []}
+    for _ in range(rounds):
+        for pf in (False, True):
+            times[pf].append(_mixed_once(feat_store, id_sets, pf))
     hit = feat_store.cache_hit_rate()
-    print(f"mixed 20% cache through Feature{label}: {gb/dt:.2f} GB/s "
-          f"(hit rate {hit:.3f})", file=sys.stderr)
-    return gb / dt, hit
+    direct = gb / float(np.median(times[False]))
+    pf = gb / float(np.median(times[True]))
+    print(f"mixed 20% cache through Feature{label}: direct {direct:.2f} "
+          f"GB/s, prefetch {pf:.2f} GB/s (hit rate {hit:.3f}, "
+          f"median of {rounds} interleaved rounds)", file=sys.stderr)
+    return direct, pf, hit
 
 
 def bench_h2d(iters=8):
@@ -125,16 +139,11 @@ def main():
     budget = int(CACHE_FRACTION * N) * D * 4
     store = Feature(device_cache_size=budget)
     store.from_cpu_tensor(feat, access_prob=w)
-    mixed, hit = bench_mixed(store, w)
-    mixed_pf, _ = bench_mixed(store, w, prefetch=True, label=" +prefetch")
+    mixed, mixed_pf, hit = bench_mixed(store, w)
     store16 = Feature(device_cache_size=budget,
                       cold_transfer_dtype=np.float16)
     store16.from_cpu_tensor(feat, access_prob=w)
-    # direct-f16 FIRST (unconfounded: transfer dtype alone), then
-    # prefetch+f16 (both knobs)
-    mixed16d, _ = bench_mixed(store16, w, label=" +f16-transfer")
-    mixed16, _ = bench_mixed(store16, w, prefetch=True,
-                             label=" +prefetch+f16-transfer")
+    mixed16d, mixed16, _ = bench_mixed(store16, w, label=" +f16-transfer")
 
     cw_full = jnp.asarray(np.cumsum(w / w.sum()), jnp.float32)
     table = jnp.asarray(feat)

@@ -8,15 +8,12 @@ tier = device budget of 2 GB (~13% of rows, degree-ordered), cold tier
 in host RAM, graph 44M edges on device, 1 epoch over a 100k-seed train
 split (papers100M-style: the train split is ~1% of the node space).
 
-Environment honesty: the axon tunnel moves host->device bytes at
-~0.05 GB/s (a real TPU host's PCIe is ~3 orders faster), so (a) the
-one-time bulk load of a multi-GB hot tier is not measurable here — the
-hot tier is filled with device-generated values (steady-state timing is
-identical: hot rows never cross the link after load; the tier
-mechanics are value-tested in tests/test_feature.py), and (b) the
-per-step cold-miss transfer IS measured and reported — it is the
-steady-state cost the design minimizes (f16/bf16 cold transfer, misses
-only).
+Environment note: the axon tunnel moves BULK host->device bytes at
+~0.8 GB/s (measured; a real TPU host's PCIe is ~20x faster) and small
+scattered batches at ~0.05 GB/s, so the one-time 2 GB hot-tier load is
+a few seconds while the per-step cold-miss transfer is the dominant
+steady-state cost — exactly the cost the design minimizes (f16 cold
+transfer, misses only, prefetch overlap).
 
 Emits the epoch_tiered record merged into FEATURE_BENCH.json.
 """
@@ -52,26 +49,23 @@ def build(V, D, deg, hot_bytes, seed=0):
     topo = CSRTopo(indptr=indptr, indices=indices, num_nodes=V)
 
     t0 = time.time()
-    # cold tier: REAL host memory (pages touched), gathered every miss
-    order = np.argsort(-np.bincount(indices, minlength=V), kind="stable")
-    old2new = np.empty(V, np.int64)
-    old2new[order] = np.arange(V)
-    hot_rows = int(hot_bytes // (D * 4))
-    cold = np.empty((V - hot_rows, D), np.float32)
-    cold.fill(0.25)
+    # the REAL construction path: host table -> from_cpu_tensor with
+    # degree access_prob (hot rows = hubs), hot tier device_put, cold
+    # tier host RAM. Table values: cheap deterministic fill (pages
+    # touched — gathers read real memory; value correctness is covered
+    # by tests/test_feature.py).
+    feat = np.empty((V, D), np.float32)
+    feat.fill(0.25)
+    feat[:, 0] = np.arange(V, dtype=np.float32) % 97
+    deg_w = np.bincount(indices, minlength=V).astype(np.float64) + 1.0
     f = Feature(device_cache_size=hot_bytes,
                 cold_transfer_dtype=np.float16)
-    f.shape = (V, D)
-    f.dtype = np.dtype(np.float32)
-    f.hot_rows = hot_rows
-    f.feature_order = old2new
-    f.hot = jax.random.normal(jax.random.PRNGKey(1), (hot_rows, D),
-                              jnp.float32)    # device-generated (see doc)
-    f.cold = cold
+    f.from_cpu_tensor(feat, access_prob=deg_w)
+    del feat
     print(f"tiers built in {time.time()-t0:.0f}s: "
-          f"{V*D*4/1e9:.1f} GB table, hot {hot_rows} rows "
-          f"({hot_rows*D*4/1e9:.1f} GB on device), "
-          f"cold {cold.nbytes/1e9:.1f} GB host", file=sys.stderr,
+          f"{V*D*4/1e9:.1f} GB table, hot {f.hot_rows} rows "
+          f"({f.hot_rows*D*4/1e9:.1f} GB on device), "
+          f"cold {f.cold.nbytes/1e9:.1f} GB host", file=sys.stderr,
           flush=True)
     return topo, f
 
@@ -120,16 +114,28 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def epoch(prefetch: bool):
+    BLOCK = 8
+
+    def epoch():
+        """One epoch, alternating direct/prefetch in BLOCK-step blocks
+        (this link's throughput drifts 3-10x over minutes; sequential
+        whole-epoch A-then-B comparisons measure the drift — per-mode
+        step medians from interleaved blocks measure the mode). The
+        FIRST step of each block is excluded from that block's timing
+        (mode transition)."""
         order = rng.permutation(split)
         bs = args.batch_size
         steps = len(order) // bs
         feat.stats = {k: 0 for k in feat.stats}
-        t0 = time.time()
+        t_epoch = time.time()
         b = sampler.sample(order[:bs])
         nid = np.asarray(b.n_id)
         loss = None
+        p, o = epoch.state
+        step_times = {False: [], True: []}
         for t in range(steps):
+            prefetch = (t // BLOCK) % 2 == 1
+            t0 = time.time()
             x = feat[nid]                       # consumes prefetch if armed
             y = jnp.asarray(labels[order[t * bs:(t + 1) * bs]])
             if t + 1 < steps:
@@ -137,26 +143,28 @@ def main():
                 nid_next = np.asarray(b_next.n_id)
                 if prefetch:
                     feat.prefetch(nid_next)     # host gather overlaps train
-            nonlocal_params = epoch.state
-            p, o = nonlocal_params
             p, o, loss = train(p, o, x, b.adjs, y)
-            epoch.state = (p, o)
+            loss = float(loss)   # dependent fetch: forces completion
+            # (block_until_ready acks early over the axon tunnel)
+            if t % BLOCK:                       # skip block's first step
+                step_times[prefetch].append(time.time() - t0)
             if t + 1 < steps:
                 b, nid = b_next, nid_next
-        jax.block_until_ready(loss)
-        dt = time.time() - t0
+        epoch.state = (p, o)
+        dt = time.time() - t_epoch
         hit = feat.cache_hit_rate()
-        cold_rows = feat.stats["cold_hits"]
-        cold_gb = cold_rows * D * 2 / 1e9       # f16 transfer
-        return dt, steps, float(loss), hit, cold_gb
+        cold_gb = feat.stats["cold_hits"] * D * 2 / 1e9   # f16 transfer
+        med = {k: float(np.median(v)) for k, v in step_times.items()}
+        return dt, steps, float(loss), hit, cold_gb, med
 
     epoch.state = (params, opt_state)
-    # warmup (compile every shape) then measure both modes
-    epoch(prefetch=False)
-    dt_direct, steps, loss_d, hit, cold_gb = epoch(prefetch=False)
-    dt_pf, _, loss_p, _, _ = epoch(prefetch=True)
+    epoch()                                      # warmup: compile shapes
+    dt_epoch, steps, loss_p, hit, cold_gb, med = epoch()
+    dt_direct = med[False] * steps
+    dt_pf = med[True] * steps
     print(f"epoch ({steps} steps, hit {hit:.3f}, {cold_gb:.2f} GB cold "
-          f"f16 transfer): direct {dt_direct:.1f}s, prefetch {dt_pf:.1f}s",
+          f"f16 transfer): wall {dt_epoch:.1f}s; per-mode step medians "
+          f"x steps: direct {dt_direct:.1f}s, prefetch {dt_pf:.1f}s",
           file=sys.stderr, flush=True)
 
     rec = {"table_gb": round(V * D * 4 / 1e9, 1),
@@ -165,8 +173,11 @@ def main():
            "nodes": V, "dim": D, "edges": V * args.deg,
            "train_split": args.train_split,
            "steps": steps,
+           "epoch_wall_s": round(dt_epoch, 1),
            "epoch_direct_s": round(dt_direct, 1),
            "epoch_prefetch_s": round(dt_pf, 1),
+           "methodology": "per-mode step medians from interleaved "
+                          "8-step blocks x steps (drift-robust)",
            "hit_rate": round(hit, 3),
            "cold_f16_gb_per_epoch": round(cold_gb, 2),
            "final_loss": round(loss_p, 3)}

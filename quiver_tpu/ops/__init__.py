@@ -4,7 +4,7 @@ from .gather import gather_rows, gather_rows_pallas
 from .spmm import (spmm_csr, spmm_csr_reference, CSRBlock, full_graph_csr,
                    gat_csr, gat_csr_reference, BucketPlan, build_bucket_plan,
                    spmm_csr_dma, gat_csr_dma)
-from .lane_kernels import lane_aggregate
+from .lane_kernels import lane_aggregate, lane_aggregate_rel
 from .gat_kernels import flash_gat_lane
 
 __all__ = [
@@ -22,5 +22,6 @@ __all__ = [
     "CSRBlock",
     "full_graph_csr",
     "lane_aggregate",
+    "lane_aggregate_rel",
     "flash_gat_lane",
 ]
