@@ -371,6 +371,248 @@ def lane_aggregate(x, mask, aggr: str = "mean"):
     return _lane_agg(x, maskf, aggr)
 
 
+# ---------------------------------------------------------------------------
+# Typed-relation aggregation: ALL R per-relation aggregates in one pass.
+# ``relf`` [k, F] f32 carries mask AND relation: -1 = invalid lane,
+# else the lane's relation id.
+
+
+def _xla_rel(x, relf, R: int, mean: bool):
+    k, f = relf.shape
+    d = x.shape[1]
+    lanes = jax.lax.dynamic_slice_in_dim(x, f, k * f, 0).reshape(k, f, d)
+    oh = (relf[..., None]
+          == jnp.arange(R, dtype=jnp.float32)).astype(jnp.float32)
+    acc = (lanes.astype(jnp.float32)[:, :, None, :]
+           * oh[..., None]).sum(0)                         # [f, R, d]
+    if mean:
+        acc = acc / jnp.maximum(oh.sum(0), 1.0)[..., None]
+    return acc.astype(x.dtype)
+
+
+def _xla_rel_bwd(g, relf, R: int, mean: bool, dtype):
+    """dx for _xla_rel: dst rows zero; lane j of row i gets
+    g[i, rel_ij] (/cnt for mean)."""
+    k, f = relf.shape
+    d = g.shape[-1]
+    gf = g.astype(jnp.float32)                             # [f, R, d]
+    if mean:
+        oh = (relf[..., None]
+              == jnp.arange(R, dtype=jnp.float32)).astype(jnp.float32)
+        gf = gf / jnp.maximum(oh.sum(0), 1.0)[..., None]
+    ridx = jnp.clip(relf, 0, R - 1).astype(jnp.int32)      # [k, f]
+    sel = jnp.take_along_axis(
+        gf[None], ridx[..., None, None], axis=2)[:, :, 0]  # [k, f, d]
+    lanes = (sel * (relf >= 0)[..., None]).astype(dtype).reshape(k * f, d)
+    return jnp.concatenate([jnp.zeros((f, d), dtype), lanes], axis=0)
+
+
+def _fwd_rel_kernel(r_ref, x_hbm, o_ref, buf, sems,
+                    *, f, k, tile, nt, R, d, mean):
+    i = pl.program_id(0)
+
+    def lane_cp(j, ii, slot):
+        off = pl.multiple_of(f + j * f + ii * tile, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(off, tile), :], buf.at[slot, j], sems.at[slot, j])
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(k):
+            lane_cp(j, 0, 0).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        for j in range(k):
+            lane_cp(j, i + 1, (i + 1) % _SLOTS).start()
+
+    s = i % _SLOTS
+    for j in range(k):
+        lane_cp(j, i, s).wait()
+
+    rel = r_ref[:]                                 # [k, tile] f32
+    for r in range(R):
+        mr = (rel == float(r)).astype(jnp.float32)
+        acc = buf[s, 0].astype(jnp.float32) * mr[0][:, None]
+        for j in range(1, k):
+            acc = acc + buf[s, j].astype(jnp.float32) * mr[j][:, None]
+        if mean:
+            acc = acc / jnp.maximum(mr.sum(0), 1.0)[:, None]
+        o_ref[:, r * d:(r + 1) * d] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "k", "tile", "R",
+                                             "mean", "interpret"))
+def _fwd_rel_pallas(x, relf, *, f, k, tile, R, mean, interpret):
+    d = x.shape[1]
+    f0 = (f // tile) * tile
+    nt = f0 // tile
+    out = pl.pallas_call(
+        functools.partial(_fwd_rel_kernel, f=f, k=k, tile=tile, nt=nt,
+                          R=R, d=d, mean=mean),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, R * d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, R * d), x.dtype),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, k, tile, d), x.dtype),
+            pltpu.SemaphoreType.DMA((_SLOTS, k)),
+        ],
+    )(relf, x)
+    out = out.reshape(f, R, d)
+    if f0 == f:
+        return out
+    rt = jax.lax.dynamic_slice_in_dim(relf, f0, f - f0, 1)
+    lanes = jnp.stack([jax.lax.dynamic_slice_in_dim(x, f + j * f + f0,
+                                                    f - f0, 0)
+                       for j in range(k)])
+    xt = jnp.concatenate(
+        [jnp.zeros((f - f0, d), x.dtype), lanes.reshape(-1, d)], axis=0)
+    tail = _xla_rel(xt, rt, R, mean)
+    return jax.lax.dynamic_update_slice_in_dim(out, tail, f0, 0)
+
+
+def _bwd_rel_kernel(r_ref, g_ref, o_hbm, obuf, zbuf, osems, zsems,
+                    *, f, k, tile, nt, R, d, mean):
+    i = pl.program_id(0)
+    s = i % _SLOTS
+
+    def ocp(j, ii, slot):
+        off = pl.multiple_of(f + j * f + ii * tile, 8)
+        return pltpu.make_async_copy(
+            obuf.at[slot, j], o_hbm.at[pl.ds(off, tile), :],
+            osems.at[slot, j])
+
+    def zcp(ii, slot):
+        off = pl.multiple_of(ii * tile, 8)
+        return pltpu.make_async_copy(
+            zbuf, o_hbm.at[pl.ds(off, tile), :], zsems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    @pl.when(i >= _SLOTS)
+    def _():
+        for j in range(k):
+            ocp(j, i - _SLOTS, s).wait()
+        zcp(i - _SLOTS, s).wait()
+
+    rel = r_ref[:]                                 # [k, tile]
+    g = g_ref[:].astype(jnp.float32)               # [tile, R*d]
+    gs = []
+    for r in range(R):
+        gr = g[:, r * d:(r + 1) * d]
+        if mean:
+            cnt = (rel == float(r)).astype(jnp.float32).sum(0)
+            gr = gr / jnp.maximum(cnt, 1.0)[:, None]
+        gs.append(gr)
+    for j in range(k):
+        acc = gs[0] * (rel[j] == 0.0).astype(jnp.float32)[:, None]
+        for r in range(1, R):
+            acc = acc + gs[r] * (rel[j] == float(r)
+                                 ).astype(jnp.float32)[:, None]
+        obuf[s, j] = acc.astype(obuf.dtype)
+    for j in range(k):
+        ocp(j, i, s).start()
+    zcp(i, s).start()
+
+    @pl.when(i == nt - 1)
+    def _():
+        for j in range(k):
+            ocp(j, i, s).wait()
+        zcp(i, s).wait()
+        if nt >= 2:
+            for j in range(k):
+                ocp(j, i - 1, (i - 1) % _SLOTS).wait()
+            zcp(i - 1, (i - 1) % _SLOTS).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("f", "k", "tile", "R",
+                                             "mean", "interpret", "dtype"))
+def _bwd_rel_pallas(g, relf, *, f, k, tile, R, mean, interpret, dtype):
+    d = g.shape[-1]
+    g2 = g.reshape(f, R * d)
+    f0 = (f // tile) * tile
+    nt = f0 // tile
+    dx = pl.pallas_call(
+        functools.partial(_bwd_rel_kernel, f=f, k=k, tile=tile, nt=nt,
+                          R=R, d=d, mean=mean),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, R * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        out_shape=jax.ShapeDtypeStruct((f * (1 + k), d), dtype),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, k, tile, d), dtype),
+            pltpu.VMEM((tile, d), dtype),
+            pltpu.SemaphoreType.DMA((_SLOTS, k)),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+        ],
+    )(relf, g2)
+    if f0 == f:
+        return dx
+    gt = jax.lax.dynamic_slice_in_dim(g, f0, f - f0, 0)
+    rt = jax.lax.dynamic_slice_in_dim(relf, f0, f - f0, 1)
+    tail = _xla_rel_bwd(gt, rt, R, mean, dtype)     # [(1+k)(f-f0), d]
+    ft = f - f0
+    dx = jax.lax.dynamic_update_slice_in_dim(
+        dx, jnp.zeros((ft, d), dtype), f0, 0)
+    for j in range(k):
+        blk = jax.lax.dynamic_slice_in_dim(tail, ft + j * ft, ft, 0)
+        dx = jax.lax.dynamic_update_slice_in_dim(dx, blk, f + j * f + f0, 0)
+    return dx
+
+
+def _use_pallas_rel(x, f: int, k: int, d: int, R: int) -> int:
+    if jax.default_backend() != "tpu" or _is_batched(x) or f % 8 or d % 128:
+        return 0
+    tile = _pick_tile(k, d, x.dtype.itemsize, f)
+    # the [tile, R*d] output block + its f32 staging must also fit
+    while tile >= _MIN_TILE and tile * R * d * 8 > _VMEM_BUDGET // 2:
+        tile //= 2
+    return tile if tile >= _MIN_TILE and f >= 2 * tile else 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rel_agg(x, relf, R, mean):
+    tile = _use_pallas_rel(x, relf.shape[1], relf.shape[0], x.shape[1], R)
+    if tile:
+        return _fwd_rel_pallas(x, relf, f=relf.shape[1], k=relf.shape[0],
+                               tile=tile, R=R, mean=mean, interpret=False)
+    return _xla_rel(x, relf, R, mean)
+
+
+def _rel_agg_fwd(x, relf, R, mean):
+    return _rel_agg(x, relf, R, mean), relf
+
+
+def _rel_agg_bwd(R, mean, relf, g):
+    dtype = g.dtype
+    k, f = relf.shape
+    tile = _use_pallas_rel(g, f, k, g.shape[-1], R)
+    if tile:
+        dx = _bwd_rel_pallas(g, relf, f=f, k=k, tile=tile, R=R,
+                             mean=mean, interpret=False, dtype=dtype)
+    else:
+        dx = _xla_rel_bwd(g, relf, R, mean, dtype)
+    return dx, jnp.zeros(relf.shape, jnp.float32)
+
+
+_rel_agg.defvjp(_rel_agg_fwd, _rel_agg_bwd)
+
+
 def lane_aggregate_rel(x, mask, edge_type, num_relations: int,
                        aggr: str = "mean"):
     """ALL per-relation lane aggregates in ONE pass over the block.
@@ -385,30 +627,19 @@ def lane_aggregate_rel(x, mask, edge_type, num_relations: int,
 
     Returns [F, R, D]: out[i, r] = aggr over lanes j of row i with
     edge_type r. The typed-edge (RGCN / hetero) aggregation primitive:
-    one multiply-reduce streams the lane rows ONCE and accumulates all
-    R relation sums, where R separate lane_aggregate calls would read
-    the full [F*k, D] block R times (reference analogue: per-relation
-    message transforms in MAG240M RGCN,
+    the double-buffered lane-streaming Pallas kernel reads each lane
+    row ONCE and accumulates all R relation sums in VMEM (custom VJP:
+    the bwd selects each lane's grad from its relation's slab in one
+    write pass), where R separate lane_aggregate calls read the full
+    [F*k, D] block R times and the XLA multiply-reduce materializes
+    R-times the traffic (reference analogue: per-relation message
+    transforms in MAG240M RGCN,
     /root/reference/benchmarks/ogbn-mag240m/train_quiver.py).
-    Differentiable in x through XLA autodiff (the bwd is a per-lane
-    select over the R grad slabs — no extra HBM pass).
+    XLA formula off-TPU / under vmap / for unaligned shapes.
     """
     if aggr not in ("mean", "sum"):
         raise ValueError(f"aggr must be mean/sum, got {aggr!r}")
     R = int(num_relations)
-    F, k = mask.shape
-    d = x.shape[1]
-    lanes = jax.lax.dynamic_slice_in_dim(x, F, k * F, 0).reshape(k, F, d)
-    et = jnp.where(mask, edge_type, -1).T                  # [k, F]
-    # one-hot [k, F, R] rides the reduce as a fused broadcast; the
-    # product [k, F, R, D] is never materialized — XLA folds it into a
-    # single multi-axis reduction that reads each lane row once
-    oh = jax.lax.stop_gradient(
-        (et[..., None] == jnp.arange(R, dtype=et.dtype)
-         ).astype(jnp.float32))
-    acc = (lanes.astype(jnp.float32)[:, :, None, :]
-           * oh[..., None]).sum(0)                         # [F, R, D]
-    if aggr == "mean":
-        cnt = oh.sum(0)                                    # [F, R]
-        acc = acc / jnp.maximum(cnt, 1.0)[..., None]
-    return acc.astype(x.dtype)
+    relf = jax.lax.stop_gradient(
+        jnp.where(mask, edge_type, -1).T.astype(jnp.float32))
+    return _rel_agg(x, relf, R, aggr == "mean")

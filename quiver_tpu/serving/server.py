@@ -147,16 +147,34 @@ class RequestBatcher:
         self._backlog = {"device": 0.0, "cpu": 0.0}   # routed cost totals
         self._drained = {"device": 0.0, "cpu": 0.0}
         self._inflight = {}
+        self.realized_ms = {}        # lane -> [(cost, device_ms/req)]
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
-    def report_request_done(self, req_id):
+    def report_request_done(self, req_id, device_ms: float = None,
+                            group_n: int = 1):
         """Feedback hook (adaptive routing): the consumer reports a
         finished request so the lane's backlog estimate deflates. Wire
-        as ``InferenceServer(..., on_done=batcher.report_request_done)``."""
+        as ``InferenceServer(..., on_done=batcher.report_request_done)``.
+
+        ``device_ms``: realized DEVICE service time of the dispatch that
+        finished this request (split over ``group_n`` requests when one
+        dispatch served a group) — recorded in ``realized_ms`` per lane
+        so a calibrator can validate the probe-seeded model against
+        under-load behavior (``auto_calibrate_mode`` in the serving
+        example does exactly that). NOT fed back into the routing model
+        automatically: per-request realized/cost samples are too noisy
+        (dispatch jitter dominates small costs) and a closed loop can
+        run away — a lane whose estimate inflates sheds all traffic and
+        then never observes the samples that would deflate it."""
         lane_cost = self._inflight.pop(req_id, None)
-        if lane_cost is not None:
-            self._drained[lane_cost[0]] += lane_cost[1]
+        if lane_cost is None:
+            return
+        lane, cost = lane_cost
+        self._drained[lane] += cost
+        if device_ms is not None:
+            self.realized_ms.setdefault(lane, []).append(
+                (cost, device_ms / max(group_n, 1)))
 
     def _choose(self, seeds):
         if self.mode == "device":
@@ -167,10 +185,21 @@ class RequestBatcher:
             return "device", 0.0
         cost = float(np.take(self.neighbour_num, seeds, mode="clip").sum())
         if self.lane_profile is not None:
+            # Single-resource model: every route's inference ultimately
+            # runs on the SAME device (the CPU lane offloads sampling
+            # only), so the shared device backlog cancels out of the
+            # comparison and the choice is each route's MARGINAL device
+            # cost for this request — fixed + slope * cost, with slopes
+            # tracked online (report_request_done). A per-lane-backlog
+            # model (round-3) double-counted the device: it treated the
+            # cpu route as a second processor, spilled requests there
+            # under mild device backlog, and the spills' stacked
+            # inference consumed MORE device time than the coalesced
+            # device path would have — inflating every queue and
+            # defining auto's p99 (SERVING_BENCH r3).
             est = {}
             for lane, (fixed_ms, ms_per_cost) in self.lane_profile.items():
-                pend = max(self._backlog[lane] - self._drained[lane], 0.0)
-                est[lane] = fixed_ms + (pend + cost) * ms_per_cost
+                est[lane] = fixed_ms + cost * ms_per_cost
             go_dev = est["device"] <= est["cpu"]
             return ("device" if go_dev else "cpu"), cost
         return ("device" if cost > self.threshold else "cpu"), cost
@@ -336,6 +365,7 @@ class InferenceServer:
             else:
                 outs = [self.infer_fn(g[2], g[3]) for g in items]
             infer_ms = (time.time() - t0) * 1e3
+            n_reqs = sum(len(g[0]) for g in items)
             for (req_ids, lens, _, _, t_enqs, sample_ms), out in zip(items,
                                                                      outs):
                 off = 0
@@ -344,7 +374,8 @@ class InferenceServer:
                                         phase_ms={"sample_ms": sample_ms,
                                                   "infer_ms": infer_ms})
                     if self.on_done is not None:
-                        self.on_done(rid)
+                        self.on_done(rid, device_ms=infer_ms,
+                                     group_n=n_reqs)
                     self.result_queue.put((rid, out[off: off + ln]))
                     off += ln
 
@@ -357,7 +388,7 @@ class InferenceServer:
                 self.metrics.record(t_enq, len(seeds), lane="device",
                                     phase_ms={"service_ms": svc})
                 if self.on_done is not None:
-                    self.on_done(req_id)
+                    self.on_done(req_id, device_ms=svc)
                 self.result_queue.put((req_id, out))
             return
         merged = np.concatenate([s for _, s, _ in items])
@@ -369,7 +400,7 @@ class InferenceServer:
             self.metrics.record(t_enq, len(seeds), lane="device",
                                 phase_ms={"service_ms": svc})
             if self.on_done is not None:
-                self.on_done(req_id)
+                self.on_done(req_id, device_ms=svc, group_n=len(items))
             self.result_queue.put((req_id, outs[off: off + len(seeds)]))
             off += len(seeds)
 

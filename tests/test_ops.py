@@ -808,3 +808,60 @@ def test_lane_aggregate_rel_matches_per_relation_passes():
     g2 = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rel_kernels_interpret_fwd_bwd_match_xla():
+    """Pallas typed-relation fwd/bwd kernels (interpret mode) vs the
+    XLA formulas, including the non-TILE-aligned tail path."""
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_kernels as lk
+
+    rng = np.random.default_rng(23)
+    R = 3
+    for (F, k, D) in [(520, 5, 128), (512 + 40, 3, 128), (512, 1, 128)]:
+        x = jnp.asarray(rng.normal(size=(F * (1 + k), D)).astype(np.float32))
+        mask = rng.random((k, F)) < 0.8
+        rel = rng.integers(0, R, (k, F))
+        relf = jnp.asarray(np.where(mask, rel, -1).astype(np.float32))
+        for mean in (True, False):
+            ref = lk._xla_rel(x, relf, R, mean)
+            got = lk._fwd_rel_pallas(x, relf, f=F, k=k, tile=256, R=R,
+                                     mean=mean, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+                err_msg=f"fwd mean={mean} F={F}")
+            g = jnp.asarray(rng.normal(size=(F, R, D)).astype(np.float32))
+            refb = lk._xla_rel_bwd(g, relf, R, mean, jnp.float32)
+            gotb = lk._bwd_rel_pallas(g, relf, f=F, k=k, tile=256, R=R,
+                                      mean=mean, interpret=True,
+                                      dtype=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(gotb), np.asarray(refb), rtol=1e-5, atol=1e-5,
+                err_msg=f"bwd mean={mean} F={F}")
+
+
+def test_lane_aggregate_rel_grad_matches_reference():
+    """jax.grad through lane_aggregate_rel's custom VJP == grad of the
+    plain per-relation formula."""
+    import jax
+    import jax.numpy as jnp
+    from quiver_tpu.ops import lane_aggregate
+    from quiver_tpu.ops.lane_kernels import lane_aggregate_rel
+
+    rng = np.random.default_rng(29)
+    F, k, D, R = 96, 4, 16, 3
+    x = jnp.asarray(rng.normal(size=(F * (1 + k), D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((F, k)) < 0.7)
+    et = jnp.asarray(rng.integers(0, R, (F, k)).astype(np.int32))
+    for aggr in ("mean", "sum"):
+        def loss_one(xv):
+            return (lane_aggregate_rel(xv, mask, et, R, aggr) ** 2).sum()
+
+        def loss_ref(xv):
+            return sum((lane_aggregate(xv, mask & (et == r), aggr) ** 2
+                        ).sum() for r in range(R))
+
+        g1 = jax.grad(loss_one)(x)
+        g2 = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5, err_msg=aggr)

@@ -185,6 +185,54 @@ def _():
     return worst
 
 
+@check("lane_rel_compiled")
+def _():
+    # typed-relation kernel: compiled fwd [F, R, D] + custom-VJP grad
+    # vs numpy oracles
+    from quiver_tpu.ops import lane_kernels as lk
+    rng = np.random.default_rng(31)
+    F, k, D, R = 520, 5, 128, 3
+    x32 = rng.normal(size=(F * (1 + k), D)).astype(np.float32)
+    x = jnp.asarray(x32)
+    mask = rng.random((k, F)) < 0.8
+    rel = rng.integers(0, R, (k, F))
+    relf = jnp.asarray(np.where(mask, rel, -1).astype(np.float32))
+    worst = 0.0
+    for mean in (True, False):
+        got = np.asarray(lk._fwd_rel_pallas(x, relf, f=F, k=k, tile=256,
+                                            R=R, mean=mean,
+                                            interpret=False))
+        lanes = x32[F:].reshape(k, F, D).astype(np.float64)
+        want = np.zeros((F, R, D))
+        for r in range(R):
+            mr = (np.where(mask, rel, -1) == r)
+            s = (lanes * mr[..., None]).sum(0)
+            if mean:
+                s = s / np.maximum(mr.sum(0), 1)[:, None]
+            want[:, r] = s
+        err = _maxerr(got, want)
+        worst = max(worst, err)
+        assert err < 1e-4, (mean, err)
+        g = rng.normal(size=(F, R, D)).astype(np.float32)
+        gotb = np.asarray(lk._bwd_rel_pallas(
+            jnp.asarray(g), relf, f=F, k=k, tile=256, R=R, mean=mean,
+            interpret=False, dtype=jnp.float32))
+        wantb = np.zeros((F * (1 + k), D))
+        gg = g.astype(np.float64)
+        if mean:
+            cnt = np.stack([(np.where(mask, rel, -1) == r).sum(0)
+                            for r in range(R)], 1)       # [F, R]
+            gg = gg / np.maximum(cnt, 1)[..., None]
+        for j in range(k):
+            for r in range(R):
+                sel = np.where(mask[j] & (rel[j] == r))[0]
+                wantb[F + j * F + sel] = gg[sel, r]
+        err = _maxerr(gotb, wantb)
+        worst = max(worst, err)
+        assert err < 1e-5, (mean, err)
+    return worst
+
+
 # ---------------------------------------------------------------------------
 # Flash-GAT lane kernel (ops/gat_kernels.py)
 
