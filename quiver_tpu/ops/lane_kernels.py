@@ -42,7 +42,14 @@ __all__ = ["lane_aggregate"]
 _TILE = 1024
 _MIN_TILE = 256
 _SLOTS = 2
-_VMEM_BUDGET = 48 * 1024 * 1024
+# Lane-buffer budget for tile selection. Mosaic's DEFAULT scoped-VMEM
+# limit is 16 MB — a 10.5 MB double-buffer plus pipelined in/out blocks
+# at k=10, d=256, tile=1024 measured 4 KB over it on hardware (caught
+# by bench_e2e; interpret mode has no such limit) — so every
+# pallas_call below raises the limit via CompilerParams like the
+# flash-GAT kernel does (gat_kernels.py runs at 44 MB).
+_VMEM_BUDGET = 32 * 1024 * 1024
+_VMEM_LIMIT = 44 * 1024 * 1024
 
 
 def _pick_tile(k: int, d: int, itemsize: int, f: int):
@@ -185,6 +192,8 @@ def _fwd_pallas(x, maskf, *, f, k, tile, aggr, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f, d), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k, tile, d), x.dtype),
             pltpu.SemaphoreType.DMA((_SLOTS, k)),
@@ -269,6 +278,8 @@ def _bwd_pallas(g, maskf, *, f, k, tile, mean, interpret, dtype):
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         out_shape=jax.ShapeDtypeStruct((f * (1 + k), d), dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k, tile, d), dtype),
             pltpu.VMEM((tile, d), dtype),
@@ -460,6 +471,8 @@ def _fwd_rel_pallas(x, relf, *, f, k, tile, R, mean, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f, R * d), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k, tile, d), x.dtype),
             pltpu.SemaphoreType.DMA((_SLOTS, k)),
@@ -554,6 +567,8 @@ def _bwd_rel_pallas(g, relf, *, f, k, tile, R, mean, interpret, dtype):
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         out_shape=jax.ShapeDtypeStruct((f * (1 + k), d), dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k, tile, d), dtype),
             pltpu.VMEM((tile, d), dtype),
