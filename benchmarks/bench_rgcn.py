@@ -34,26 +34,38 @@ def main():
     rng = np.random.default_rng(0)
     n_src = F * (1 + K)
     x = jax.random.normal(jax.random.PRNGKey(0), (n_src, D), jnp.float32)
-    mask = jnp.asarray(rng.random((F, K)) < 0.9)
-    et = jnp.asarray(rng.integers(0, R, (F, K)).astype(np.int32))
+    mask = rng.random((F, K)) < 0.9
+    et = rng.integers(0, R, (F, K))
+    # chain on the SMALL float [F, K] relation operand (mask rides the
+    # sign), NOT the 461 MB feature operand — hazard 3 in _timing.py
+    # (the phantom copy of a chained pallas_call operand costs
+    # ~1.5 ms/iter and the r3 numbers in this file's history had it)
+    relff = jnp.asarray(np.where(mask, et, -1).astype(np.float32))
 
-    @jax.jit
-    def one_pass(xv):
-        return lane_aggregate_rel(xv, mask, et, R, "mean")
+    # Both forms return the FLAT [F, R*D] the consumer contracts with
+    # (RGCNConv reshapes [F, R, D] -> [F, R*D] for the one-matmul
+    # transform; inside one jit the reshape pair cancels). Returning
+    # rank-3 as a program OUTPUT would materialize its (R=5 -> 8,
+    # 128)-padded layout: +1.5 ms of pure relayout that no real caller
+    # pays.
+    def one_pass(rf, xv):
+        return lane_aggregate_rel(xv, rf >= 0, rf.astype(jnp.int32), R,
+                                  "mean").reshape(F, R * D)
 
-    @jax.jit
-    def r_passes(xv):
-        return jnp.stack([lane_aggregate(xv, mask & (et == r), "mean")
-                          for r in range(R)], axis=1)
+    def r_passes(rf, xv):
+        return jnp.stack(
+            [lane_aggregate(xv, (rf >= 0) & (rf.astype(jnp.int32) == r),
+                            "mean") for r in range(R)],
+            axis=1).reshape(F, R * D)
 
     # equality sanity on-device before timing
-    a = np.asarray(one_pass(x))
-    b = np.asarray(r_passes(x))
+    a = np.asarray(jax.jit(one_pass)(relff, x))
+    b = np.asarray(jax.jit(r_passes)(relff, x))
     err = np.abs(a - b).max()
     assert err < 1e-4, err
 
-    dt1 = chain_time(one_pass, x, iters=8)
-    dtR = chain_time(r_passes, x, iters=8)
+    dt1 = chain_time(one_pass, relff, x, iters=16)
+    dtR = chain_time(r_passes, relff, x, iters=16)
     lane_bytes = F * K * D * 4          # the lane rows, read once
     out_bytes = F * R * D * 4
     gbps1 = (lane_bytes + out_bytes) / dt1 / 1e9

@@ -418,6 +418,12 @@ def _xla_rel_bwd(g, relf, R: int, mean: bool, dtype):
     return jnp.concatenate([jnp.zeros((f, d), dtype), lanes], axis=0)
 
 
+# The rel kernel's output stream equals its input stream (R*d written
+# per tile vs k*d read), so it triple-buffers (the output copy-out
+# needs its own slot of slack) where the plain kernel double-buffers.
+_REL_SLOTS = 3
+
+
 def _fwd_rel_kernel(r_ref, x_hbm, o_ref, buf, sems,
                     *, f, k, tile, nt, R, d, mean):
     i = pl.program_id(0)
@@ -435,21 +441,27 @@ def _fwd_rel_kernel(r_ref, x_hbm, o_ref, buf, sems,
     @pl.when(i + 1 < nt)
     def _():
         for j in range(k):
-            lane_cp(j, i + 1, (i + 1) % _SLOTS).start()
+            lane_cp(j, i + 1, (i + 1) % _REL_SLOTS).start()
 
-    s = i % _SLOTS
+    s = i % _REL_SLOTS
     for j in range(k):
         lane_cp(j, i, s).wait()
 
     rel = r_ref[:]                                 # [k, tile] f32
+    # hoist the lane-buffer reads: Mosaic does NOT CSE scratch reads
+    # across the R loop — re-reading buf[s, j] per relation measured
+    # 3.6 ms where this form measures 1.5 ms (618 GB/s) at R=5, k=5
+    lanes = [buf[s, j].astype(jnp.float32) for j in range(k)]
+    accs = []
     for r in range(R):
         mr = (rel == float(r)).astype(jnp.float32)
-        acc = buf[s, 0].astype(jnp.float32) * mr[0][:, None]
+        acc = lanes[0] * mr[0][:, None]
         for j in range(1, k):
-            acc = acc + buf[s, j].astype(jnp.float32) * mr[j][:, None]
+            acc = acc + lanes[j] * mr[j][:, None]
         if mean:
             acc = acc / jnp.maximum(mr.sum(0), 1.0)[:, None]
-        o_ref[:, r * d:(r + 1) * d] = acc.astype(o_ref.dtype)
+        accs.append(acc)
+    o_ref[:] = jnp.concatenate(accs, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("f", "k", "tile", "R",
@@ -474,8 +486,8 @@ def _fwd_rel_pallas(x, relf, *, f, k, tile, R, mean, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
-            pltpu.VMEM((_SLOTS, k, tile, d), x.dtype),
-            pltpu.SemaphoreType.DMA((_SLOTS, k)),
+            pltpu.VMEM((_REL_SLOTS, k, tile, d), x.dtype),
+            pltpu.SemaphoreType.DMA((_REL_SLOTS, k)),
         ],
     )(relf, x)
     out = out.reshape(f, R, d)
@@ -594,8 +606,11 @@ def _use_pallas_rel(x, f: int, k: int, d: int, R: int) -> int:
     if jax.default_backend() != "tpu" or _is_batched(x) or f % 8 or d % 128:
         return 0
     tile = _pick_tile(k, d, x.dtype.itemsize, f)
-    # the [tile, R*d] output block + its f32 staging must also fit
-    while tile >= _MIN_TILE and tile * R * d * 8 > _VMEM_BUDGET // 2:
+    # triple-buffered lane blocks + the [tile, R*d] output block and
+    # its f32 staging must also fit
+    while tile >= _MIN_TILE and (
+            _REL_SLOTS * k * tile * d * x.dtype.itemsize
+            + tile * R * d * 8 > _VMEM_BUDGET):
         tile //= 2
     return tile if tile >= _MIN_TILE and f >= 2 * tile else 0
 
