@@ -146,8 +146,17 @@ def main():
         y = shard_leading(jnp.asarray(labels[seed_mat]), mesh)
         params, opt_state, loss = step(params, opt_state, x, adjs, y)
         losses.append(float(loss))
+    seeds_per_s = args.steps * bs * H / (time.time() - t0)
     print(f"{args.steps} dist steps: loss {losses[0]:.3f} -> {losses[-1]:.3f} "
-          f"({args.steps*bs*H/(time.time()-t0):.0f} seeds/s)")
+          f"({seeds_per_s:.0f} seeds/s)")
+    import json
+    print(json.dumps({
+        "metric": "multihost_pipeline", "hosts": H,
+        "backend": jax.default_backend(),
+        "nodes": n, "edges": int(topo.edge_count),
+        "batch_size": bs, "steps": args.steps,
+        "loss_first": round(losses[0], 3), "loss_last": round(losses[-1], 3),
+        "seeds_per_s": round(seeds_per_s, 1)}))
 
 
 if __name__ == "__main__":
