@@ -164,16 +164,18 @@ def _warn_tracer_fallback(name: str) -> None:
 def _cached_plan(indptr, indices) -> "BucketPlan":
     """Memoized plan for eager (non-tracer) callers — plan construction
     is a device->host sync plus O(E) numpy work, a large silent per-call
-    cost otherwise. Keyed on the identity of the indices buffer (the
-    stable object for a given graph); holds the last few plans alive."""
-    key = id(indices)
+    cost otherwise. Keyed on the identity of BOTH CSR buffers (keying on
+    indices alone would serve a stale plan to a graph that re-chunks
+    indptr over the same indices object); a caller that mutates the
+    buffers in place must pass an explicit plan."""
+    key = (id(indptr), id(indices))
     hit = _PLAN_KEEPALIVE.get(key)
-    if hit is not None and hit[0] is indices:
-        return hit[1]
+    if hit is not None and hit[0] is indptr and hit[1] is indices:
+        return hit[2]
     plan = build_bucket_plan(np.asarray(indptr), np.asarray(indices))
     if len(_PLAN_KEEPALIVE) > 8:          # bound the keepalive set
         _PLAN_KEEPALIVE.clear()
-    _PLAN_KEEPALIVE[key] = (indices, plan)
+    _PLAN_KEEPALIVE[key] = (indptr, indices, plan)
     return plan
 
 
@@ -305,20 +307,26 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
     xw = jnp.asarray(xw)
     a_dst = jnp.asarray(a_dst)
     single = xw.ndim == 2
-    if att_src is not None and a_src is None:
-        a_src = (xw * att_src).sum(-1)
-    a_src = jnp.asarray(a_src)
     if single:
-        xw, a_src, a_dst = xw[:, None, :], a_src[:, None], a_dst[:, None]
+        xw, a_dst = xw[:, None, :], a_dst[:, None]
+        if a_src is not None:
+            a_src = jnp.asarray(a_src)[:, None]
         if att_src is not None:
             att_src = jnp.asarray(att_src)[None, :]
+    elif a_src is not None:
+        a_src = jnp.asarray(a_src)
     if plan is None:
         if isinstance(indptr, jax.core.Tracer) or isinstance(
                 indices, jax.core.Tracer):
             # Per-head XLA reference loop (no fused bucketed path under
             # jit without a plan) — warn once so jitted full-graph
-            # callers know to pass one (CSRBlock.plan).
+            # callers know to pass one (CSRBlock.plan). The only branch
+            # that needs per-node a_src — compute it here, not eagerly
+            # (the bucketed from_att path never reads it; an up-front
+            # (xw * att).sum over all V rows would be wasted work).
             _warn_tracer_fallback("gat_csr")
+            if a_src is None:
+                a_src = (xw * jnp.asarray(att_src)[None]).sum(-1)
             outs = [gat_csr_reference(indptr, indices, xw[:, h],
                                       a_src[:, h], a_dst[:, h],
                                       negative_slope)
@@ -330,6 +338,8 @@ def gat_csr(indptr, indices, xw, a_src, a_dst, negative_slope: float = 0.2,
         out = _gat_bucketed(plan, xw, jnp.asarray(att_src), a_dst,
                             slope=float(negative_slope), from_att=True)
     else:
+        if a_src is None:
+            raise ValueError("gat_csr needs a_src or att_src")
         out = _gat_bucketed(plan, xw, a_src, a_dst,
                             slope=float(negative_slope))
     return out[:, 0] if single else out

@@ -51,10 +51,16 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
     """One distributed hop (runs INSIDE shard_map): owner-sort the
     frontier, all_to_all the [H, C] id request matrix, sample the local
     CSR shard, all_to_all the [H, C, 2k] packed answers back, invert the
-    sort. Returns (mask, slot, next_frontier, next_valid)."""
+    sort. Returns (mask, slot, next_frontier, next_valid, n_dropped)."""
     F = frontier.shape[0]
+    # INVALID rows route to the virtual owner H (past every real host)
+    # so they sort LAST and never consume a real destination's capacity
+    # ranks — matching _make_count, which measures per-destination
+    # maxima over valid rows only. (Routing them to host H-1, the r4
+    # first cut, let masked lanes displace valid host-(H-1) requests on
+    # sparse frontiers: silent per-partition sample loss.)
     owner = jnp.where(f_valid, g2h[jnp.clip(frontier, 0, None)],
-                      jnp.int32(H - 1))
+                      jnp.int32(H))
     pos = jnp.arange(F, dtype=jnp.int32)
     s_owner, order = jax.lax.sort([owner, pos], num_keys=1,
                                   is_stable=True)
@@ -63,12 +69,14 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
     group_start = jnp.searchsorted(
         s_owner, jnp.arange(H, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    rank = pos - group_start[s_owner]
-    in_cap = v_sorted & (rank < C)
-    # request matrix [H, C]: id+1, 0 = empty slot; over-capacity ranks
-    # target the drop slot (auto-tight capacity selection makes this
-    # unreachable in the default mode — C covers the max actual count)
-    tgt = jnp.where(rank < C, s_owner * C + rank, jnp.int32(H * C))
+    ow_real = jnp.minimum(s_owner, jnp.int32(H - 1))
+    rank = pos - group_start[ow_real]
+    in_cap = v_sorted & (rank < C) & (s_owner < H)
+    # request matrix [H, C]: id+1, 0 = empty slot; rows of the virtual
+    # owner and over-capacity ranks target the drop slot (auto-tight
+    # capacity selection makes real-row drops unreachable in the
+    # default mode — C covers the max actual valid count)
+    tgt = jnp.where(in_cap, ow_real * C + rank, jnp.int32(H * C))
     req = jnp.zeros((H * C + 1,), jnp.int32).at[tgt].set(
         jnp.where(in_cap, f_sorted + 1, 0),
         mode="drop")[:H * C].reshape(H, C)
@@ -83,7 +91,7 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
         [jnp.where(mask, nbr, -1), slot], axis=1).reshape(H, C, 2 * k)
     back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
     # reassemble in sorted order, then invert the owner sort
-    got = back[s_owner, jnp.minimum(rank, C - 1)]      # [F, 2k]
+    got = back[ow_real, jnp.clip(rank, 0, C - 1)]      # [F, 2k]
     nbr_sorted = got[:, :k]
     m_sorted = (nbr_sorted >= 0) & in_cap[:, None]
     s_sorted = got[:, k:]
@@ -537,6 +545,7 @@ class DistNeighborSampler:
         send/recv exchange (comm.py:127-182), with the dynamic sizes
         hoisted to a scalar host read instead of a size matrix
         allreduce."""
+        self.last_dropped = None      # auto rounds are lossless
         frontier = jnp.asarray(seeds, jnp.int32)
         f_valid = jnp.ones((self.H, B), bool)
         outs, caps, F = [], [], B
@@ -593,7 +602,7 @@ class DistNeighborSampler:
         first round measures each hop's max per-destination request
         count and runs per-hop programs at exactly that (lossless);
         later rounds run ONE fused program at the learned capacities
-        plus one 1.5x-ladder step of margin, with an on-device dropped-
+        plus a 25% margin, with an on-device dropped-
         row counter — a round that exceeds the margin (extreme skew)
         still yields a VALID batch (over-capacity lanes are masked, not
         corrupted) and triggers relearning for subsequent rounds."""

@@ -116,24 +116,25 @@ class RequestBatcher:
                               else np.asarray(neighbour_num))
         self.threshold = threshold
         self.mode = mode
-        # Measured lane models make auto routing QUEUE-PRESSURE-ADAPTIVE
-        # (replacing the reference's fixed threshold, serving.py:88-95):
-        # each request joins the lane with the lower estimated
-        # completion time, so a lane that drifts slower at runtime
-        # (transport drift, CPU contention) sheds load automatically.
+        # Measured lane models route each request by its MARGINAL cost
+        # on the shared device (replacing the reference's fixed
+        # threshold, serving.py:88-95):
         #
         #   lane_profile: {"device": (fixed_ms, ms_per_cost),
         #                  "cpu": (fixed_ms, ms_per_cost)}
-        #   estimate(lane) = fixed_ms + (pending_cost + cost) * ms_per_cost
+        #   estimate(lane) = fixed_ms + cost * ms_per_cost
         #
-        # The FIXED term is what makes auto never lose to the best
-        # single lane: without it (round-3 behavior) the model
-        # underestimates the slow lane's end-to-end latency by its
-        # per-request floor (sampling + stacking + result path), so
-        # light requests spill there under mild backlog and those
-        # spills define the p99. With it, spilling starts only when the
-        # fast lane's queue drain genuinely exceeds the slow lane's
-        # full service time — exactly when shedding helps.
+        # Both lanes ultimately execute inference on the SAME device
+        # (the CPU lane offloads only sampling), so the shared device
+        # backlog cancels out of the comparison and the routing signal
+        # is each route's marginal device cost — a per-lane-backlog
+        # model (round 3) double-counted the device as two processors
+        # and spilled requests to the route that consumed MORE device
+        # time. The profiles are probe-seeded and validated at the
+        # POLICY level under replayed load (see the serving example's
+        # calibrate_auto); realized per-request service times are
+        # recorded in ``realized_ms`` for that calibration but NOT fed
+        # back automatically (see report_request_done).
         #
         # lane_ms_per_cost=(dev, cpu) is the legacy slope-only form
         # (fixed_ms = 0).
@@ -144,25 +145,24 @@ class RequestBatcher:
         self.lane_ms_per_cost = lane_ms_per_cost
         self.device_queue: queue.Queue = queue.Queue()
         self.cpu_queue: queue.Queue = queue.Queue()
-        self._backlog = {"device": 0.0, "cpu": 0.0}   # routed cost totals
-        self._drained = {"device": 0.0, "cpu": 0.0}
         self._inflight = {}
-        self.realized_ms = {}        # lane -> [(cost, device_ms/req)]
+        from collections import deque
+        self.realized_ms = {"device": deque(maxlen=4096),
+                            "cpu": deque(maxlen=4096)}
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
     def report_request_done(self, req_id, device_ms: float = None,
                             group_n: int = 1):
-        """Feedback hook (adaptive routing): the consumer reports a
-        finished request so the lane's backlog estimate deflates. Wire
-        as ``InferenceServer(..., on_done=batcher.report_request_done)``.
+        """Completion hook. Wire as
+        ``InferenceServer(..., on_done=batcher.report_request_done)``.
 
         ``device_ms``: realized DEVICE service time of the dispatch that
         finished this request (split over ``group_n`` requests when one
         dispatch served a group) — recorded in ``realized_ms`` per lane
-        so a calibrator can validate the probe-seeded model against
-        under-load behavior (``auto_calibrate_mode`` in the serving
-        example does exactly that). NOT fed back into the routing model
+        (bounded deques) so a calibrator can validate the probe-seeded
+        model against under-load behavior (``calibrate_auto`` in the
+        serving example). NOT fed back into the routing model
         automatically: per-request realized/cost samples are too noisy
         (dispatch jitter dominates small costs) and a closed loop can
         run away — a lane whose estimate inflates sheds all traffic and
@@ -171,9 +171,8 @@ class RequestBatcher:
         if lane_cost is None:
             return
         lane, cost = lane_cost
-        self._drained[lane] += cost
         if device_ms is not None:
-            self.realized_ms.setdefault(lane, []).append(
+            self.realized_ms[lane].append(
                 (cost, device_ms / max(group_n, 1)))
 
     def _choose(self, seeds):
@@ -218,7 +217,6 @@ class RequestBatcher:
             req_id, seeds, t_enq = item
             seeds = np.asarray(seeds)
             lane, cost = self._choose(seeds)
-            self._backlog[lane] += cost
             self._inflight[req_id] = (lane, cost)
             q = self.device_queue if lane == "device" else self.cpu_queue
             q.put((req_id, seeds, t_enq))

@@ -365,3 +365,44 @@ def test_dist_sampler_auto_tight_wire_and_fused_step():
         losses.append(float(loss))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_dist_sampler_sparse_frontier_no_displacement():
+    """Regression (r4 review): INVALID frontier rows must never consume
+    a real destination's capacity ranks. On a sparse graph (avg degree
+    ~2, fanout 8) most hop-1 lanes are masked; with invalid rows routed
+    to the last REAL host (the bug) its valid requests were displaced
+    and silently dropped. Ground truth: auto-tight mode reports zero
+    drops and every valid frontier row — in particular rows owned by
+    host H-1 — gets exactly min(deg, k) lanes."""
+    from jax.sharding import Mesh
+    from quiver_tpu import CSRTopo
+    from quiver_tpu.parallel import DistNeighborSampler
+
+    rng = np.random.default_rng(5)
+    V, H, B, k = 2000, 8, 256, 8
+    deg = rng.integers(0, 4, V)               # sparse: many 0/1 degrees
+    hubs = rng.choice(V, 20, replace=False)
+    deg[hubs] = 50
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1])).astype(np.int64)
+    topo = CSRTopo(indptr=indptr, indices=indices)
+    g2h = rng.integers(0, H, V)
+    g2h[hubs] = H - 1                         # stress the last host
+    mesh = Mesh(np.array(jax.devices()[:H]), ("host",))
+    ds = DistNeighborSampler(mesh, topo, g2h, [k, k], seed=2)
+    seeds = rng.integers(0, V, (H, B))
+    batches = ds.sample(seeds)
+    # steady-state fused round must also be drop-free
+    seeds2 = rng.integers(0, V, (H, B))
+    batches2 = ds.sample(seeds2)
+    assert int(np.asarray(ds.last_dropped).max()) == 0
+    for bs_, sd in ((batches, seeds), (batches2, seeds2)):
+        for d in range(H):
+            blk = bs_[d].adjs[-1]             # hop 0 (seeds)
+            mask = np.asarray(blk.mask)
+            for i in range(B):
+                v = int(sd[d, i])
+                want = min(int(indptr[v + 1] - indptr[v]), k)
+                assert int(mask[i].sum()) == want, (d, i, v)
