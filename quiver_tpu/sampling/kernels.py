@@ -406,20 +406,37 @@ def weighted_sample_adjacency(indptr, indices, row_cdf, frontier,
     return nbr, mask, slot
 
 
-def build_alias_table(indptr, weights):
-    """Host-side: per-row Vose alias tables packed as one [E, 2] int32
-    array (col 0 = acceptance probability as float32 bits, col 1 =
-    row-relative alias position), so the device reads BOTH with a single
-    8-byte row gather per draw. Replaces the 32-step inverse-CDF binary
-    search (reference weight_sample cuda_random.cu.hpp:179-221) with an
-    O(1) draw."""
+def build_alias_table(indptr, weights, indices=None):
+    """Host-side: per-row Vose alias tables packed as one int32 array,
+    replacing the 32-step inverse-CDF binary search (reference
+    weight_sample cuda_random.cu.hpp:179-221) with an O(1) draw.
+
+    With ``indices`` (the production layout): [E, 4] rows
+    ``(prob bits, alias pos, neighbor at slot, neighbor at alias)`` —
+    the NEIGHBOR IDS RIDE THE TABLE, so one 16-byte row gather per draw
+    resolves accept-or-redirect AND the neighbor id (row gathers are
+    descriptor-bound on TPU regardless of width; eliminating the second
+    [N, k]-row gather of ``indices`` halves the descriptors of the
+    weighted hot loop). Without ``indices``: the legacy [E, 2]
+    ``(prob bits, alias pos)`` layout."""
     import numpy as np
     from .. import native
 
     prob, alias = native.build_alias(indptr, weights)
-    packed = np.empty((prob.shape[0], 2), np.int32)
+    E = prob.shape[0]
+    if indices is None:
+        packed = np.empty((E, 2), np.int32)
+        packed[:, 0] = prob.view(np.int32)
+        packed[:, 1] = alias
+        return packed
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices)
+    start = np.repeat(indptr[:-1], np.diff(indptr))        # [E]
+    packed = np.empty((E, 4), np.int32)
     packed[:, 0] = prob.view(np.int32)
     packed[:, 1] = alias
+    packed[:, 2] = indices
+    packed[:, 3] = indices[np.minimum(start + alias, max(E - 1, 0))]
     return packed
 
 
@@ -427,10 +444,12 @@ def weighted_sample_alias(indptr, indices, alias2d, frontier,
                           frontier_valid, k: int, key):
     """Weighted fanout-k sampling WITH replacement via alias tables.
 
-    Per lane: one uniform picks a candidate slot, one 8-byte row gather
-    fetches (acceptance prob, alias position), a second uniform accepts
-    or redirects — two gather descriptors per lane total (incl. the
-    final neighbor read) instead of 32 binary-search probes.
+    Per lane: one uniform picks a candidate slot, ONE row gather of the
+    packed alias entry resolves accept-or-redirect — with the [E, 4]
+    layout (build_alias_table with indices) the entry also carries both
+    candidate neighbor ids, so that single 16-byte gather is the lane's
+    ENTIRE memory traffic (one descriptor per lane instead of the
+    legacy two, or the reference's 32 binary-search probes).
     Same contract as :func:`weighted_sample_adjacency`.
     """
     start, deg = _row_ranges(indptr, frontier, frontier_valid)
@@ -438,17 +457,20 @@ def weighted_sample_alias(indptr, indices, alias2d, frontier,
     u = jax.random.uniform(key, (2, N, k))
     pos = jnp.minimum((u[0] * deg[:, None].astype(u.dtype)).astype(jnp.int32),
                       jnp.maximum(deg - 1, 0)[:, None])
-    slot = start[:, None] + pos
-    E = alias2d.shape[0]
-    pa = jnp.take(alias2d, jnp.clip(slot, 0, E - 1), axis=0)   # [N, k, 2]
+    slot = jnp.clip(start[:, None] + pos, 0, alias2d.shape[0] - 1)
+    pa = jnp.take(alias2d, slot, axis=0)           # [N, k, 2 or 4]
     acc_p = jax.lax.bitcast_convert_type(pa[..., 0], jnp.float32)
     alias_pos = pa[..., 1]
-    pos2 = jnp.where(u[1] <= acc_p, pos, alias_pos)
+    accept = u[1] <= acc_p
+    pos2 = jnp.where(accept, pos, alias_pos)
     slot = start[:, None] + pos2
 
     ar = jnp.arange(k, dtype=jnp.int32)
     mask = (deg > 0)[:, None] & frontier_valid[:, None] & (ar[None, :] < k)
     slot = jnp.where(mask, slot, 0)
+    if alias2d.shape[1] >= 4:
+        nbr = jnp.where(accept, pa[..., 2], pa[..., 3])
+        return jnp.where(mask, nbr, 0), mask, slot
     nbr = jnp.take(indices, jnp.clip(slot, 0, indices.shape[0] - 1),
                    mode="clip").astype(jnp.int32)
     return nbr, mask, slot

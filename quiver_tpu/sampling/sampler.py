@@ -503,10 +503,12 @@ class NeighborSampler:
                         put(jnp.asarray(build_meta2(csr_topo.indptr))),
                         put(jnp.asarray(csr_topo.indices, jnp.int32)))
             if self.weighted:
-                # packed per-row alias tables (prob bits | alias pos);
-                # see weighted_sample_alias (kernels.py)
+                # packed per-row alias tables (prob bits | alias pos |
+                # neighbor at slot | neighbor at alias): ONE 16-byte row
+                # gather per draw; see weighted_sample_alias (kernels.py)
                 packed = build_alias_table(csr_topo.indptr,
-                                           csr_topo.edge_weight)
+                                           csr_topo.edge_weight,
+                                           csr_topo.indices)
                 self.edge_table = put(jnp.asarray(packed))
             else:
                 self.edge_table = put(jnp.zeros((1, 2), jnp.int32))

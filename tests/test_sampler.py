@@ -698,3 +698,35 @@ def test_fused_pallas_block_sampler_uniform():
     expect = T * k / d
     chi2 = ((hits - expect) ** 2 / expect).sum()
     assert chi2 < d - 1 + 4 * np.sqrt(2 * (d - 1)), chi2
+
+
+def test_weighted_alias_packed_neighbors_match_legacy():
+    """[E, 4] packed alias layout (neighbor ids ride the table, one
+    gather per draw) must produce IDENTICAL samples to the legacy
+    [E, 2] layout under the same key, including degree-0 rows."""
+    from quiver_tpu.sampling.kernels import (weighted_sample_alias,
+                                             build_alias_table)
+
+    rng = np.random.default_rng(8)
+    V = 300
+    deg = rng.integers(0, 9, V)
+    deg[5] = 0
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    E = int(indptr[-1])
+    indices = rng.integers(0, V, E).astype(np.int64)
+    w = (rng.random(E) + 0.1).astype(np.float32)
+    t2 = jnp.asarray(build_alias_table(indptr, w))
+    t4 = jnp.asarray(build_alias_table(indptr, w, indices))
+    ip = jnp.asarray(indptr, jnp.int32)
+    idx = jnp.asarray(indices, jnp.int32)
+    frontier = jnp.asarray(rng.integers(0, V, 128).astype(np.int32))
+    valid = jnp.asarray(rng.random(128) < 0.9)
+    key = jax.random.PRNGKey(9)
+    n2, m2, s2 = weighted_sample_alias(ip, idx, t2, frontier, valid, 4, key)
+    n4, m4, s4 = weighted_sample_alias(ip, idx, t4, frontier, valid, 4, key)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m4))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s4))
+    m = np.asarray(m2)
+    np.testing.assert_array_equal(np.asarray(n2)[m], np.asarray(n4)[m])
+    assert (np.asarray(n4)[~m] == 0).all()
