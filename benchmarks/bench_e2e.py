@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="fp32 features + compute (reference dtype); "
                          "default is bf16 storage/compute with fp32 loss")
+    ap.add_argument("--model", choices=["sage", "gat"], default="sage",
+                    help="gat = 4-head GAT through the flash lane "
+                         "kernel (the reference's MAG240M model family)")
     args = ap.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
@@ -64,9 +67,15 @@ def main():
     print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
 
     sampler = NeighborSampler(topo, FANOUT, seed=0)
-    model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
-                      num_layers=3, dropout=0.0,
-                      dtype=None if args.fp32 else jnp.bfloat16)
+    if args.model == "gat":
+        from quiver_tpu.models import GAT
+        model = GAT(hidden_features=HIDDEN, out_features=CLASSES,
+                    num_layers=3, heads=4, dropout=0.0,
+                    dtype=None if args.fp32 else jnp.bfloat16)
+    else:
+        model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
+                          num_layers=3, dropout=0.0,
+                          dtype=None if args.fp32 else jnp.bfloat16)
     tx = optax.adam(1e-3)
 
     b0 = sampler.sample(np.arange(BATCH))
@@ -109,12 +118,16 @@ def main():
           f"{steps*BATCH/epoch_s:.0f} seeds/s), final loss {lf:.3f}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "e2e_epoch_products_like_sage3"
+        "metric": "e2e_epoch_products_like_"
+                  + ("gat3" if args.model == "gat" else "sage3")
                   + ("_fp32" if args.fp32 else ""),
         "value": round(epoch_s, 2),
         "unit": "s",
         "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 3),
         "reshuffle_s": round(resh_s, 2),
+        **({"baseline_note": "11.1s is the reference's SAGE epoch "
+            "(it publishes no GAT epoch); GAT does ~3x the FLOPs"}
+           if args.model == "gat" else {}),
     }))
 
 

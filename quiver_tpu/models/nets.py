@@ -64,6 +64,7 @@ class GAT(nn.Module):
     num_layers: int
     heads: int = 4
     dropout: float = 0.5
+    dtype: object = None          # compute dtype (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(self, x, adjs, *, train: bool = False):
@@ -71,7 +72,8 @@ class GAT(nn.Module):
             last = i == self.num_layers - 1
             conv = GATConv(self.out_features if last else self.hidden_features,
                            heads=1 if last else self.heads,
-                           concat=not last, name=f"conv{i}")
+                           concat=not last, dtype=self.dtype,
+                           name=f"conv{i}")
             x = conv(x, adjs[i])
             if not last:
                 x = nn.elu(x)

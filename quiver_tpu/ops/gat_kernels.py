@@ -53,7 +53,14 @@ __all__ = ["flash_gat_lane"]
 
 _SLOTS = 2
 _NEG = -1e30
-_VMEM_BUDGET = 44 * 1024 * 1024
+# _VMEM_BUDGET sizes the tile (scratch double-buffers); _VMEM_LIMIT is
+# the Mosaic scoped-VMEM ceiling passed to every pallas_call. The gap
+# is the margin for pipelined in/out blocks and f32 staging the tile
+# formula does not count — at k=10, hc=1024 the bwd kernel measured
+# 36 KB over a 44 MB limit with a 44 MB budget (hardware-only failure,
+# caught by bench_e2e --model gat; interpret mode has no limit).
+_VMEM_BUDGET = 32 * 1024 * 1024
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _expansion(h: int, c: int):
@@ -262,7 +269,7 @@ def _fwd_pallas(x, asr, adr, maskf, *, f, k, tile, h, slope, interpret):
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET),
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k + 1, tile, hc), x.dtype),
             pltpu.SemaphoreType.DMA((_SLOTS, k + 1)),
@@ -431,7 +438,7 @@ def _bwd_pallas(g, out, m, ssum, a_d, x, asr, adr, maskf,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET),
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((_SLOTS, k + 1, tile, hc), x.dtype),
             pltpu.VMEM((_SLOTS, k + 1, tile, hc), x.dtype),
