@@ -37,6 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 128          # frontier rows per grid step (one DMA each)
+# Max frontier rows per pallas_call: the scalar-prefetch fid operand is
+# SMEM-resident (1 MB = 262144 int32); 0.75 MB leaves room for grid
+# bookkeeping. Multiple of ROWS so every chunk blocks evenly.
+_SMEM_ROWS = 196608
 
 
 def _floyd_rows(rand01, deg, k):
@@ -135,28 +139,45 @@ def sample_block_fused(blk, frontier, frontier_valid, key, k: int,
         frontier_valid.astype(jnp.int32))
     u = jax.random.uniform(key, (KP, Np), jnp.float32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Np // R,),
-        in_specs=[pl.BlockSpec((1, R), lambda i, fid: (0, i)),
-                  pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=[pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
-                   pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
-                   pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
-                   pl.BlockSpec((8, R), lambda i, fid: (0, i))],
-        scratch_shapes=[pltpu.VMEM((R, W), jnp.int32),
-                        pltpu.SemaphoreType.DMA((R,))],
-    )
-    nbr_t, mask_t, slot_t, hdr = pl.pallas_call(
-        functools.partial(_kernel, k=k, W=W, R=R, KP=KP),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((KP, Np), jnp.int32),
-                   jax.ShapeDtypeStruct((KP, Np), jnp.int32),
-                   jax.ShapeDtypeStruct((KP, Np), jnp.int32),
-                   jax.ShapeDtypeStruct((8, Np), jnp.int32)],
-        interpret=interpret,
-    )(fid, vld.reshape(1, Np), u, blk)
+    def call(fid_c, vld_c, u_c):
+        n_c = fid_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_c // R,),
+            in_specs=[pl.BlockSpec((1, R), lambda i, fid: (0, i)),
+                      pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+            out_specs=[pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
+                       pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
+                       pl.BlockSpec((KP, R), lambda i, fid: (0, i)),
+                       pl.BlockSpec((8, R), lambda i, fid: (0, i))],
+            scratch_shapes=[pltpu.VMEM((R, W), jnp.int32),
+                            pltpu.SemaphoreType.DMA((R,))],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, k=k, W=W, R=R, KP=KP),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((KP, n_c), jnp.int32),
+                       jax.ShapeDtypeStruct((KP, n_c), jnp.int32),
+                       jax.ShapeDtypeStruct((KP, n_c), jnp.int32),
+                       jax.ShapeDtypeStruct((8, n_c), jnp.int32)],
+            interpret=interpret,
+        )(fid_c, vld_c.reshape(1, n_c), u_c, blk)
+
+    # The scalar-prefetch fid operand lives in SMEM (1 MB): one call
+    # handles <= _SMEM_ROWS frontier rows; bigger frontiers (batch-4096
+    # strict pipelines reach ~400k at hop 3) run the SAME kernel over
+    # static chunks — caught on hardware by bench_strict_pieces
+    # (interpret mode has no SMEM limit).
+    if Np <= _SMEM_ROWS:
+        nbr_t, mask_t, slot_t, hdr = call(fid, vld, u)
+    else:
+        parts = [call(fid[a:a + _SMEM_ROWS],
+                      vld[a:a + _SMEM_ROWS],
+                      u[:, a:a + _SMEM_ROWS])
+                 for a in range(0, Np, _SMEM_ROWS)]
+        nbr_t, mask_t, slot_t, hdr = (
+            jnp.concatenate(cols, axis=1) for cols in zip(*parts))
 
     nbr = nbr_t[:k].T[:N]
     mask = mask_t[:k].T[:N] > 0
