@@ -393,6 +393,55 @@ def _():
     return None
 
 
+@check("fused_sampler_compiled_equals_interpret")
+def _():
+    # the kernel consumes pre-drawn uniforms, so compiled and interpret
+    # runs are DETERMINISTIC on the same key: outputs must be equal
+    # exactly (a wrong DMA offset or layout assumption in compiled
+    # Mosaic shows up as a value diff here even if both are "valid")
+    from quiver_tpu.sampling.kernels import build_block_layout
+    from quiver_tpu.sampling.pallas_sampler import sample_block_fused
+    rng = np.random.default_rng(12)
+    V, W, k, N = 400, 128, 5, 512
+    deg = np.maximum(rng.pareto(1.2, V).astype(np.int64), 1)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = rng.integers(0, V, int(indptr[-1])).astype(np.int32)
+    blk = jnp.asarray(build_block_layout(indptr, indices, W))
+    frontier = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
+    fv = jnp.asarray(rng.random(N) < 0.9)
+    key = jax.random.PRNGKey(5)
+    outs_c = sample_block_fused(blk, frontier, fv, key, k=k,
+                                interpret=False)
+    outs_i = sample_block_fused(blk, frontier, fv, key, k=k,
+                                interpret=True)
+    for a, b, nm in zip(outs_c, outs_i,
+                        ("nbr", "mask", "slot", "start", "deg")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
+    return 0.0
+
+
+@check("flash_gat_fwd_compiled_bf16")
+def _():
+    from quiver_tpu.ops.gat_kernels import flash_gat_lane, _use_pallas
+    rng = np.random.default_rng(14)
+    F, k, H, C = 512, 5, 4, 32
+    x32 = rng.normal(size=(F * (1 + k), H * C)).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    assert _use_pallas(x, F, k, H * C), "dispatcher took the XLA path"
+    mask = rng.random((F, k)) < 0.8
+    asr = rng.normal(size=(1, H * C)).astype(np.float32) * 0.3
+    adr = rng.normal(size=(1, H * C)).astype(np.float32) * 0.3
+    got = np.asarray(flash_gat_lane(x, jnp.asarray(asr), jnp.asarray(adr),
+                                    jnp.asarray(mask), H), np.float32)
+    want = _gat_oracle(np.asarray(x, np.float32), asr, adr, mask.T, H, 0.2)
+    err = _maxerr(got, want)
+    # bf16 products + quantized inputs: LeakyReLU-kink / near-tie slack
+    assert err < 0.08, err
+    return err
+
+
 # ---------------------------------------------------------------------------
 # Fused dedup scan (ops/scan_kernels.py)
 
