@@ -270,7 +270,12 @@ class Feature:
         into a device array."""
         ids = np.asarray(n_id).astype(np.int64)
         m = ids.shape[0]
-        self.stats["lookups"] += m
+        # Stats are accumulated into a local delta and applied at
+        # CONSUME time (_device_phase) — _host_phase may run on the
+        # prefetch thread, and a prefetch later discarded by
+        # _drain_prefetch must not inflate cache_hit_rate.
+        delta = {"lookups": m, "hot_hits": 0, "cold_hits": 0,
+                 "disk_hits": 0}
 
         # Samplers pad n_id with SENTINEL (and dispatch masks use -1);
         # route padding to row 0 (a hot row) BEFORE any table indexing so
@@ -293,12 +298,12 @@ class Feature:
         if on_disk is not None:
             in_hot &= ~on_disk
         n_cold = m - int(in_hot.sum())
-        self.stats["hot_hits"] += m - n_cold
-        self.stats["cold_hits"] += n_cold
+        delta["hot_hits"] += m - n_cold
+        delta["cold_hits"] += n_cold
 
         hot_idx = np.minimum(pos, max(self.hot_rows - 1, 0)).astype(np.int32)
         if n_cold == 0:
-            return (m, hot_idx, None, None)
+            return (m, hot_idx, None, None, delta)
 
         from . import native
         miss = ~in_hot
@@ -311,8 +316,8 @@ class Feature:
                                max(len(self.cold) - 1, 0))
                 cold_vals[~disk_sel] = native.gather_rows(self.cold, cidx)
             didx = self.disk_map[ids[miss][disk_sel]]
-            self.stats["disk_hits"] += int(disk_sel.sum())
-            self.stats["cold_hits"] -= int(disk_sel.sum())
+            delta["disk_hits"] += int(disk_sel.sum())
+            delta["cold_hits"] -= int(disk_sel.sum())
             cold_vals[disk_sel] = native.gather_rows(self.mmap_array, didx)
         else:
             cidx = np.clip(pos[miss] - self.hot_rows, 0,
@@ -327,12 +332,16 @@ class Feature:
         tdt = self.cold_transfer_dtype or cold_vals.dtype
         pad_vals = np.zeros((cap,) + cold_vals.shape[1:], tdt)
         pad_vals[:n_cold] = cold_vals.astype(tdt)
-        return (m, hot_idx, pad_pos, pad_vals)
+        return (m, hot_idx, pad_pos, pad_vals, delta)
 
     def _device_phase(self, host):
         """JAX phase (calling thread): dispatch the hot gather, ship the
-        padded miss rows, scatter them over the device result."""
-        m, hot_idx, pad_pos, pad_vals = host
+        padded miss rows, scatter them over the device result. Stat
+        deltas land here, on the consuming thread, so discarded
+        prefetches never count and no two threads race ``self.stats``."""
+        m, hot_idx, pad_pos, pad_vals, delta = host
+        for k, v in delta.items():
+            self.stats[k] += v
         if self.hot_rows > 0:
             out = _take_clipped(self.hot, jnp.asarray(hot_idx))
         else:

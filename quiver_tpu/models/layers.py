@@ -127,18 +127,22 @@ class GATConv(nn.Module):
             out = out.reshape(dst_cap, H, C)
         else:
             xw = xw2.reshape(-1, H, C)
-            a_s = (xw * att_src).sum(-1)            # [N, H]
             a_d = (xw[:dst_cap] * att_dst).sum(-1)  # [dst_cap, H]
             if _is_csr(adj):
                 # Full-graph block: fused SDDMM + edge softmax +
                 # weighted SpMM over the bucketed layout, ALL heads in
                 # one pass (one gather serves every head) — gat_csr.
+                # a_src=None: the bucketed path recomputes source logits
+                # from att_src in-kernel, so the O(N*H*C) eager
+                # reduction would be wasted work (the rare tracer
+                # fallback computes it itself when needed).
                 from ..ops.spmm import gat_csr
-                out = gat_csr(adj.indptr, adj.indices, xw, a_s, a_d,
+                out = gat_csr(adj.indptr, adj.indices, xw, None, a_d,
                               self.negative_slope,
                               plan=getattr(adj, "plan", None),
                               att_src=att_src[0])       # [V, H, C]
             else:
+                a_s = (xw * att_src).sum(-1)            # [N, H]
                 src, dst = adj.edge_index[0], adj.edge_index[1]
                 e = jnp.take(a_s, src, axis=0) + jnp.take(a_d, dst, axis=0)
                 e = nn.leaky_relu(e, negative_slope=self.negative_slope)

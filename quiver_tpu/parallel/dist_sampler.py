@@ -216,7 +216,10 @@ def _exchange_rows(feat, g2h, g2l, ids, valid, H, axis, C):
     invalid ids come back 0. Lossless when C == len(ids)."""
     F = ids.shape[0]
     D = feat.shape[1]
-    owner = jnp.where(valid, g2h[jnp.clip(ids, 0, None)], jnp.int32(H - 1))
+    # Invalid ids go to the VIRTUAL owner H (not a real host) so they
+    # never consume capacity ranks of host H-1 — same displacement fix
+    # as _hop_body above.
+    owner = jnp.where(valid, g2h[jnp.clip(ids, 0, None)], jnp.int32(H))
     pos = jnp.arange(F, dtype=jnp.int32)
     s_owner, order = jax.lax.sort([owner, pos], num_keys=1, is_stable=True)
     ids_sorted = ids[order]
@@ -224,9 +227,10 @@ def _exchange_rows(feat, g2h, g2l, ids, valid, H, axis, C):
     group_start = jnp.searchsorted(
         s_owner, jnp.arange(H, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    rank = pos - group_start[s_owner]
-    in_cap = v_sorted & (rank < C)
-    tgt = jnp.where(rank < C, s_owner * C + rank, jnp.int32(H * C))
+    ow_real = jnp.minimum(s_owner, jnp.int32(H - 1))
+    rank = pos - group_start[ow_real]
+    in_cap = v_sorted & (rank < C) & (s_owner < H)
+    tgt = jnp.where(in_cap, ow_real * C + rank, jnp.int32(H * C))
     req = jnp.zeros((H * C + 1,), jnp.int32).at[tgt].set(
         jnp.where(in_cap, ids_sorted + 1, 0), mode="drop")[:H * C]
     recv = jax.lax.all_to_all(req.reshape(H, C), axis, 0, 0, tiled=True)
@@ -234,7 +238,7 @@ def _exchange_rows(feat, g2h, g2l, ids, valid, H, axis, C):
     rows = jnp.where(rv > 0, g2l[jnp.maximum(rv - 1, 0)], 0)
     xr = jnp.take(feat, rows, axis=0) * (rv > 0)[:, None].astype(feat.dtype)
     back = jax.lax.all_to_all(xr.reshape(H, C, D), axis, 0, 0, tiled=True)
-    got = back[s_owner, jnp.minimum(rank, C - 1)]            # [F, D]
+    got = back[ow_real, jnp.clip(rank, 0, C - 1)]            # [F, D]
     got = got * in_cap[:, None].astype(feat.dtype)
     inv = jnp.zeros((F,), jnp.int32).at[order].set(pos)
     return got[inv]

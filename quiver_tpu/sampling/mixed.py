@@ -51,10 +51,21 @@ class MixedSampler:
     ``decide_task_num``.
     """
 
+    # Reference mode strings (sage_sampler.py:229) accepted as migration
+    # aliases: on TPU both the UVA (host-pinned graph) and GPU (HBM graph)
+    # device modes collapse onto the HBM-resident TPU sampler.
+    _MODE_ALIASES = {
+        "UVA_CPU_MIXED": "TPU_CPU_MIXED",
+        "GPU_CPU_MIXED": "TPU_CPU_MIXED",
+        "UVA_ONLY": "TPU_ONLY",
+        "GPU_ONLY": "TPU_ONLY",
+    }
+
     def __init__(self, csr_topo, sizes: Sequence[int], job: SampleJob,
                  mode: str = "TPU_CPU_MIXED", num_cpu_workers: int = 2,
                  seed: int = 0, reshuffle_each_epoch: bool = True,
                  **sampler_kw):
+        mode = self._MODE_ALIASES.get(mode, mode)
         if mode not in ("TPU_CPU_MIXED", "TPU_ONLY", "CPU_ONLY"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode

@@ -188,8 +188,11 @@ class RequestBatcher:
             # runs on the SAME device (the CPU lane offloads sampling
             # only), so the shared device backlog cancels out of the
             # comparison and the choice is each route's MARGINAL device
-            # cost for this request — fixed + slope * cost, with slopes
-            # tracked online (report_request_done). A per-lane-backlog
+            # cost for this request — fixed + slope * cost. Slopes are
+            # probe-seeded and policy-validated via calibrate_auto;
+            # report_request_done records realized times for that
+            # offline calibration, it does NOT feed this model live.
+            # A per-lane-backlog
             # model (round-3) double-counted the device: it treated the
             # cpu route as a second processor, spilled requests there
             # under mild device backlog, and the spills' stacked

@@ -172,6 +172,27 @@ def test_mixed_sampler_covers_job():
     assert counts == [8] + [16] * 12
 
 
+@pytest.mark.parametrize("ref_mode,native_mode", [
+    ("UVA_CPU_MIXED", "TPU_CPU_MIXED"), ("GPU_CPU_MIXED", "TPU_CPU_MIXED"),
+    ("UVA_ONLY", "TPU_ONLY"), ("GPU_ONLY", "TPU_ONLY")])
+def test_mixed_sampler_reference_mode_aliases(ref_mode, native_mode):
+    """Reference MixedGraphSageSampler mode strings
+    (sage_sampler.py:229) are accepted as migration aliases."""
+    from quiver_tpu import MixedSampler, SampleJob, CSRTopo
+
+    rng = np.random.default_rng(5)
+    n = 32
+    topo = CSRTopo(edge_index=np.stack([np.repeat(np.arange(n), 3),
+                                        rng.integers(0, n, 3 * n)]),
+                   num_nodes=n)
+    job = SampleJob(np.arange(n), batch_size=16)
+    ms = MixedSampler(topo, [2], job, mode=ref_mode, num_cpu_workers=1)
+    assert ms.mode == native_mode
+    assert len(list(ms)) == 2
+    with pytest.raises(ValueError):
+        MixedSampler(topo, [2], job, mode="DGL_ONLY")
+
+
 @pytest.mark.parametrize("mode", ["TPU_ONLY", "CPU_ONLY"])
 def test_mixed_sampler_single_backend_modes(mode):
     from quiver_tpu import MixedSampler, SampleJob, CSRTopo
