@@ -50,12 +50,21 @@ def main():
     ap.add_argument("--model", choices=["sage", "gat"], default="sage",
                     help="gat = 4-head GAT through the flash lane "
                          "kernel (the reference's MAG240M model family)")
+    ap.add_argument("--weighted", action="store_true",
+                    help="weighted neighbor sampling via packed per-row "
+                         "alias tables (BASELINE config 3: the "
+                         "reference's weight_sample inverse-CDF path, "
+                         "cuda_random.cu.hpp:179-221, paired with the "
+                         "GAT/MAG240M model family)")
     args = ap.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
     t0 = time.time()
     indptr, indices = build_graph()
-    topo = CSRTopo(indptr=indptr, indices=indices)
+    w_rng = np.random.default_rng(42)
+    topo = CSRTopo(indptr=indptr, indices=indices,
+                   edge_weight=(w_rng.random(len(indices)).astype(
+                       np.float32) + 0.05) if args.weighted else None)
     n = topo.node_count
     rng = np.random.default_rng(0)
     # default: bf16 feature storage halves gather bytes; loss math fp32.
@@ -66,7 +75,8 @@ def main():
         rng.integers(0, CLASSES, n, dtype=np.int32)))
     print(f"setup {time.time()-t0:.1f}s", file=sys.stderr)
 
-    sampler = NeighborSampler(topo, FANOUT, seed=0)
+    sampler = NeighborSampler(topo, FANOUT, seed=0,
+                              weighted=args.weighted)
     if args.model == "gat":
         from quiver_tpu.models import GAT
         model = GAT(hidden_features=HIDDEN, out_features=CLASSES,
@@ -120,6 +130,7 @@ def main():
     print(json.dumps({
         "metric": "e2e_epoch_products_like_"
                   + ("gat3" if args.model == "gat" else "sage3")
+                  + ("_weighted" if args.weighted else "")
                   + ("_fp32" if args.fp32 else ""),
         "value": round(epoch_s, 2),
         "unit": "s",

@@ -73,10 +73,11 @@ def make_trace(rng, n_nodes, count, rate_hz):
 
 
 def run_mode(mode, trace, topo, fanout, nn_table, threshold, infer_fn,
-             cpu_workers, infer_stacked_fn=None, lane_profile=None):
+             cpu_workers, infer_stacked_fn=None, lane_profile=None,
+             **rb_kw):
     inq = queue.Queue()
     rb = RequestBatcher(inq, neighbour_num=nn_table, threshold=threshold,
-                        mode=mode, lane_profile=lane_profile)
+                        mode=mode, lane_profile=lane_profile, **rb_kw)
     hybrid = HybridSampler(
         rb.cpu_queue,
         sampler_factory=lambda: NeighborSampler(topo, fanout, mode="CPU",

@@ -47,11 +47,17 @@ def _local_sample(indptr, indices, rows, rows_valid, k, key):
     return nbr, mask, slot
 
 
-def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
+def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub,
+              comm=True):
     """One distributed hop (runs INSIDE shard_map): owner-sort the
     frontier, all_to_all the [H, C] id request matrix, sample the local
     CSR shard, all_to_all the [H, C, 2k] packed answers back, invert the
-    sort. Returns (mask, slot, next_frontier, next_valid, n_dropped)."""
+    sort. Returns (mask, slot, next_frontier, next_valid, n_dropped).
+
+    ``comm=False`` replaces both all_to_alls with identity (requests
+    "answered" by the local shard) — WRONG results, identical compute;
+    benchmarks difference it against comm=True to isolate collective
+    cost (bench_dist_sampling --decompose)."""
     F = frontier.shape[0]
     # INVALID rows route to the virtual owner H (past every real host)
     # so they sort LAST and never consume a real destination's capacity
@@ -80,7 +86,7 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
     req = jnp.zeros((H * C + 1,), jnp.int32).at[tgt].set(
         jnp.where(in_cap, f_sorted + 1, 0),
         mode="drop")[:H * C].reshape(H, C)
-    recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)
+    recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True) if comm else req
     rv = recv.reshape(-1)
     r_valid = rv > 0
     rows = jnp.where(r_valid, g2l[jnp.maximum(rv - 1, 0)], 0)
@@ -89,7 +95,8 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
     # invalid lanes (mask rides in the sign), then CSR slots.
     packed = jnp.concatenate(
         [jnp.where(mask, nbr, -1), slot], axis=1).reshape(H, C, 2 * k)
-    back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
+    back = (jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
+            if comm else packed)
     # reassemble in sorted order, then invert the owner sort
     got = back[ow_real, jnp.clip(rank, 0, C - 1)]      # [F, 2k]
     nbr_sorted = got[:, :k]
@@ -108,13 +115,15 @@ def _hop_body(ptr, idx, g2h, g2l, frontier, f_valid, k, C, H, axis, sub):
 
 @functools.lru_cache(maxsize=32)
 def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int,
-              req_caps):
+              req_caps, comm: bool = True):
     """All hops in ONE shard_map program (static per-hop capacities
     ``req_caps``) — the fused path ``make_dist_train_step`` builds on.
     Lossless when C_l == F_l (any ownership skew fits); smaller C_l
     shrinks the wire format to [H, C_l] — frontier rows beyond a
     destination's capacity are dropped (their lanes masked), the same
-    trade as the strict pipeline's reindex capacities."""
+    trade as the strict pipeline's reindex capacities.
+    ``comm=False``: collectives replaced by identity (benchmark-only,
+    see _hop_body)."""
     def body(ptr, idx, g2h, g2l, seeds, seed_count, key):
         ptr, idx = ptr[0], idx[0]
         seeds, seed_count = seeds[0], seed_count[0]
@@ -126,14 +135,15 @@ def _make_run(mesh: Mesh, axis: str, H: int, sizes, batch_size: int,
             key, sub = jax.random.split(key)
             m_o, s_o, frontier, f_valid, nd = _hop_body(
                 ptr, idx, g2h, g2l, frontier, f_valid, k, req_caps[li],
-                H, axis, sub)
+                H, axis, sub, comm=comm)
             dropped = dropped + nd
             outs.append((m_o[None], s_o[None],
                          jnp.sum(f_valid[:m_o.shape[0]]
                                  ).astype(jnp.int32)[None]))
         # pmax: every device (hence every PROCESS of a multi-process
         # mesh) observes the same drop total, so relearn decisions agree
-        dropped = jax.lax.pmax(dropped, axis)
+        if comm:
+            dropped = jax.lax.pmax(dropped, axis)
         return frontier[None], outs, dropped[None]
 
     return jax.jit(shard_map(
@@ -568,10 +578,11 @@ class DistNeighborSampler:
         self.last_caps = tuple(caps)
         return frontier, outs
 
-    def _run_static(self, seeds, B, caps=None):
+    def _run_static(self, seeds, B, caps=None, comm=True):
         self._key, sub = jax.random.split(self._key)
         caps = tuple(caps) if caps is not None else self._req_caps(B)
-        run = _make_run(self.mesh, self.axis, self.H, self.sizes, B, caps)
+        run = _make_run(self.mesh, self.axis, self.H, self.sizes, B, caps,
+                        comm=comm)
         counts = np.full((self.H,), B, np.int32)
         frontier, outs, dropped = run(
             self.shards_ptr, self.shards_idx, self.g2h, self.g2l,

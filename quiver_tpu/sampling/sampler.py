@@ -336,6 +336,26 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
 
 
 _SCAN_CACHE = {}
+_VMAP_CACHE = {}
+
+
+def _vmap_batches(fn, tables, seeds2d, seed_count, keys, **static_kw):
+    """Run per-batch sampling ``fn`` over stacked seed batches as ONE
+    vmapped program (``sample_many(method='vmap')``): all batches'
+    gathers schedule together, amortizing per-dispatch overhead —
+    the throughput mode of the stream-pool analogue."""
+    key_id = (fn, "vmap", tuple(sorted(static_kw.items())))
+    run = _VMAP_CACHE.get(key_id)
+    if run is None:
+        inner = functools.partial(fn, **static_kw)
+
+        @jax.jit
+        def run(tables, seeds2d, seed_count, keys):
+            return jax.vmap(
+                lambda s, k: inner(*tables, s, seed_count, k),
+                in_axes=(0, 0))(seeds2d, keys)
+        _VMAP_CACHE[key_id] = run
+    return run(tables, seeds2d, seed_count, keys)
 
 
 def _scan_batches(fn, tables, seeds2d, seed_count, keys, **static_kw):
@@ -698,7 +718,7 @@ class NeighborSampler:
                             batch_size=bs, seed_count=jnp.int32(n),
                             adjs=tuple(reversed(adjs)))
 
-    def sample_many(self, seeds2d) -> SampledBatch:
+    def sample_many(self, seeds2d, method: str = "scan") -> SampledBatch:
         """Sample ``n`` seed batches in ONE device dispatch.
 
         ``seeds2d``: [n_batches, batch] seed node ids (rows are
@@ -707,16 +727,28 @@ class NeighborSampler:
         ``[n_batches]`` axis; use :meth:`SampledBatch.at_batch` to view
         one batch.
 
-        Use when dispatch *count* matters (driving the sampler from a
-        latency-sensitive control loop, queueing work ahead of a training
-        step) — the analogue of the reference keeping a 4-deep stream
-        pool (quiver_sample.cu:84-88). It is NOT a throughput
-        optimization: measured on a v5e, repeated ``sample()`` calls
-        already pipeline through the async dispatch queue and run ~5-25%
-        FASTER than the scanned program (198.8M vs 146.8M SEPS dense,
-        38.9M vs 39.0M strict at products scale), because scan iterations
-        serialize where back-to-back program launches overlap.
+        The analogue of the reference keeping a 4-deep stream pool
+        (quiver_sample.cu:84-88). Two compilations of the same contract:
+
+        ``method="scan"`` (default): a ``lax.scan`` over batches —
+        smallest program, constant memory, use when dispatch *count*
+        matters but batches should still execute one-at-a-time (e.g.
+        interleaving with a training step). Scan iterations serialize,
+        so repeated ``sample()`` calls through the async dispatch queue
+        can beat it (198.8M vs 146.8M SEPS dense at products scale, r2).
+
+        ``method="vmap"`` (dense pipeline only): ONE vmapped program
+        samples all batches as parallel work — the per-dispatch overhead
+        (host RPC + program launch, ~2.3 ms/batch on a remote-attached
+        chip) amortizes over the group, and XLA schedules the batches'
+        gathers together. Measured on the products-scale dense bench:
+        207.7M SEPS at group 8 vs 175.8M per-call median (r5 flatten
+        ablation artifact). This is the throughput configuration for
+        pumping a continuous stream of batches.
         """
+        if method not in ("scan", "vmap"):
+            raise ValueError(f"method must be 'scan' or 'vmap', "
+                             f"got {method!r}")
         if self.mode == "CPU":
             outs = [self._cpu.sample(np.asarray(s)) for s in seeds2d]
             return jax.tree.map(lambda *xs: np.stack(xs), *outs)
@@ -729,16 +761,21 @@ class NeighborSampler:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, n_b)
         caps = _layer_capacities(bs, self.sizes, self.capacities)
+        if method == "vmap" and self.dedup != "none":
+            raise ValueError("sample_many(method='vmap') supports the "
+                             "dense (dedup='none') pipeline; use 'scan' "
+                             "for per-hop-dedup batches")
 
         if self.dedup == "none":
+            runner = _vmap_batches if method == "vmap" else _scan_batches
             if self.sampling == "packed":
                 packed2d, seed_meta = self.indices
-                frontier, f_valid, layer_outs = _scan_batches(
+                frontier, f_valid, layer_outs = runner(
                     _sample_layers_packed, (packed2d, seed_meta),
                     jnp.asarray(pad), jnp.int32(n), keys,
                     sizes=self.sizes, batch_size=bs)
             else:
-                frontier, f_valid, layer_outs = _scan_batches(
+                frontier, f_valid, layer_outs = runner(
                     _sample_layers_dense,
                     (self.indptr, self.indices, self.edge_table),
                     jnp.asarray(pad), jnp.int32(n), keys,

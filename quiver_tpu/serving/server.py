@@ -110,7 +110,9 @@ class RequestBatcher:
 
     def __init__(self, stream_queue: queue.Queue, neighbour_num=None,
                  threshold: float = 0.0, mode: str = "auto",
-                 lane_ms_per_cost=None, lane_profile=None):
+                 lane_ms_per_cost=None, lane_profile=None,
+                 balance_smp_ms_per_cost: float = 0.0,
+                 balance_outstanding_ms: float = 100.0):
         self.stream_queue = stream_queue
         self.neighbour_num = (None if neighbour_num is None
                               else np.asarray(neighbour_num))
@@ -143,6 +145,22 @@ class RequestBatcher:
                             "cpu": (0.0, lane_ms_per_cost[1])}
         self.lane_profile = lane_profile
         self.lane_ms_per_cost = lane_ms_per_cost
+        # mode='balance': WORK-CONSERVING hybrid split. The CPU lane is
+        # the cheaper route per request (its device cost is infer-only),
+        # so requests go there BY DEFAULT and spill to the device lane
+        # only while the CPU pool's estimated outstanding sampling work
+        # exceeds ``balance_outstanding_ms`` — i.e. the device samples
+        # exactly the overflow the host pool can't keep up with. This is
+        # the routing that makes the hybrid beat both single lanes once
+        # the offered rate exceeds either lane's solo capacity (the
+        # reference's core serving claim, serving.py:72-95, realized as
+        # saturation protection rather than a fixed size threshold).
+        # ``balance_smp_ms_per_cost`` converts predicted request cost to
+        # estimated host sampling ms (measure: t_cpu_sample / cost).
+        self.balance_smp_ms_per_cost = balance_smp_ms_per_cost
+        self.balance_outstanding_ms = balance_outstanding_ms
+        self._cpu_outstanding_ms = 0.0
+        self._balance_lock = threading.Lock()
         self.device_queue: queue.Queue = queue.Queue()
         self.cpu_queue: queue.Queue = queue.Queue()
         self._inflight = {}
@@ -171,6 +189,11 @@ class RequestBatcher:
         if lane_cost is None:
             return
         lane, cost = lane_cost
+        if lane == "cpu" and self.balance_smp_ms_per_cost:
+            with self._balance_lock:
+                self._cpu_outstanding_ms = max(
+                    0.0, self._cpu_outstanding_ms
+                    - cost * self.balance_smp_ms_per_cost)
         if device_ms is not None:
             self.realized_ms[lane].append(
                 (cost, device_ms / max(group_n, 1)))
@@ -183,6 +206,14 @@ class RequestBatcher:
         if self.neighbour_num is None:
             return "device", 0.0
         cost = float(np.take(self.neighbour_num, seeds, mode="clip").sum())
+        if self.mode == "balance":
+            est = cost * self.balance_smp_ms_per_cost
+            with self._balance_lock:
+                if (self._cpu_outstanding_ms + est
+                        <= self.balance_outstanding_ms):
+                    self._cpu_outstanding_ms += est
+                    return "cpu", cost
+            return "device", cost
         if self.lane_profile is not None:
             # Single-resource model: every route's inference ultimately
             # runs on the SAME device (the CPU lane offloads sampling

@@ -643,6 +643,45 @@ def test_sample_many_matches_per_batch_contract(dedup):
     assert len(set(edge_sets)) > 1  # rows are independent draws
 
 
+def test_sample_many_vmap_method():
+    """method='vmap' (the throughput mode of the stream-pool analogue):
+    same contract as scan — per-batch subset validity against the true
+    adjacency, independent draws across rows; per-hop-dedup rejects it."""
+    rng = np.random.default_rng(4)
+    row = rng.integers(0, 300, 4000)
+    col = rng.integers(0, 300, 4000)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=300)
+    adj = {v: set(col[row == v].tolist()) for v in range(300)}
+    s = NeighborSampler(topo, [4, 3], mode="TPU", dedup="none", seed=3,
+                        sampling="exact")
+    seeds2d = np.stack([rng.choice(300, 32, replace=False)
+                        for _ in range(4)])
+    st = s.sample_many(seeds2d, method="vmap")
+    assert st.n_id.shape[0] == 4
+    edge_sets = []
+    for i in range(4):
+        b = st.at_batch(i)
+        n_id = np.asarray(b.n_id)
+        for a in b.adjs:
+            m = np.asarray(a.mask)
+            assert m.any()
+            F = a.size[1]
+            k = a.fanout
+            for r, j in zip(*np.nonzero(m)):
+                v = int(n_id[r])
+                nb = int(n_id[F + j * F + r])   # lane-major layout
+                assert nb in adj[v], (i, r, j, v, nb)
+        edge_sets.append(np.asarray(b.adjs[0].e_id)[
+            np.asarray(b.adjs[0].mask)].tobytes())
+    assert len(set(edge_sets)) > 1
+
+    strict = NeighborSampler(topo, [3], mode="TPU", dedup="per_hop")
+    with pytest.raises(ValueError):
+        strict.sample_many(seeds2d, method="vmap")
+    with pytest.raises(ValueError):
+        s.sample_many(seeds2d, method="nope")
+
+
 def test_fused_pallas_block_sampler_contract():
     """Interpret-mode contract of the fused Pallas block sampler
     (sampling/pallas_sampler.py) against the CSR ground truth: subset

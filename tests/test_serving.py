@@ -49,6 +49,32 @@ def test_request_batcher_routing():
     rb.stop()
 
 
+def test_request_batcher_balance_mode():
+    """mode='balance' (the hybrid-crossover router): requests default to
+    the CPU lane and spill to the device lane only while the pool's
+    estimated outstanding sampling exceeds the budget; completions
+    release budget."""
+    nn = np.ones(16)
+    inq = queue.Queue()
+    # each 4-seed request costs 4 * 2.5 = 10 ms; budget fits two
+    rb = RequestBatcher(inq, neighbour_num=nn, mode="balance",
+                        balance_smp_ms_per_cost=2.5,
+                        balance_outstanding_ms=20.0)
+    for i in range(4):
+        inq.put((i, np.arange(4), time.time()))
+    a = rb.cpu_queue.get(timeout=5)
+    b = rb.cpu_queue.get(timeout=5)
+    c = rb.device_queue.get(timeout=5)
+    d = rb.device_queue.get(timeout=5)
+    assert {a[0], b[0]} == {0, 1} and {c[0], d[0]} == {2, 3}
+    # releasing one cpu request frees budget for the next
+    rb.report_request_done(a[0])
+    inq.put((9, np.arange(4), time.time()))
+    e = rb.cpu_queue.get(timeout=5)
+    assert e[0] == 9
+    rb.stop()
+
+
 def test_serving_end_to_end():
     """Requests flow through batcher -> hybrid CPU samplers + device loop
     -> results, with p99/throughput metrics recorded."""
