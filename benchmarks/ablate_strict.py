@@ -145,7 +145,7 @@ def main():
         slot.reshape(-1))
 
     # 8) full strict program
-    seps, _, epb = measure(s, V, iters=10)
+    seps, _, epb, _band = measure(s, V, iters=10)
     out["strict_full_ms"] = round(epb / seps * 1e3 * 0 + (epb / (seps / 1e3)),
                                   3)  # ms per batch
     out["strict_seps_M"] = round(seps / 1e6, 2)

@@ -68,7 +68,7 @@ def main():
                      ("exact", dict(sampling="exact"))):
         s = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
                                dedup="none", **kw)
-        seps, comp, epb = measure(s, topo.node_count, iters=30)
+        seps, comp, epb, _b = measure(s, topo.node_count, iters=30)
         sys.stderr.write(f"dense {name}: {seps/1e6:.2f}M SEPS "
                          f"({epb} e/b, compile {comp:.1f}s)\n")
         out[f"dense_{name}_seps"] = round(seps, 1)
@@ -79,7 +79,7 @@ def main():
     strict = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
                                 dedup="per_hop",
                                 capacities=(26624, 196608))
-    seps2, comp2, _ = measure(strict, topo.node_count, iters=10)
+    seps2, comp2, _, _b2 = measure(strict, topo.node_count, iters=10)
     sys.stderr.write(f"strict: {seps2/1e6:.2f}M SEPS "
                      f"(compile {comp2:.1f}s)\n")
 

@@ -42,7 +42,7 @@ def main():
         s = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0,
                                dedup="per_hop", capacities=CAPS, **kw)
         t0 = time.time()
-        seps, comp, epb = measure(s, topo.node_count, iters=10)
+        seps, comp, epb, _band = measure(s, topo.node_count, iters=10)
         out[name] = round(seps / 1e6, 2)
         sys.stderr.write(f"{name}: {seps/1e6:.2f}M SEPS "
                          f"({epb} edges/batch, compile {comp:.1f}s, "

@@ -49,7 +49,7 @@ def main():
     # 1) exact sampling, dedup-free (positional): sampling cost alone
     s = qt.NeighborSampler(topo, FANOUT, mode="TPU", seed=0, dedup="none",
                            sampling="exact")
-    seps, comp, epb = measure(s, topo.node_count, iters=10)
+    seps, comp, epb, _band = measure(s, topo.node_count, iters=10)
     out["exact_nodedup_seps_M"] = round(seps / 1e6, 2)
     sys.stderr.write(f"exact sampling no-dedup: {seps/1e6:.2f}M SEPS "
                      f"({epb} edges/batch)\n")
@@ -78,7 +78,7 @@ def main():
                             dedup="per_hop", reindex="sort",
                             capacities=(4 * CAPS[0], 3 * CAPS[1],
                                         2 * CAPS[2]))
-    seps4, _, epb4 = measure(s4, topo.node_count, iters=10, batch=4096)
+    seps4, _, epb4, _b4 = measure(s4, topo.node_count, iters=10, batch=4096)
     out["strict_b4096_seps_M"] = round(seps4 / 1e6, 2)
     sys.stderr.write(f"strict b4096: {seps4/1e6:.2f}M SEPS "
                      f"({epb4} edges/batch)\n")

@@ -47,6 +47,37 @@ def _take_clipped(hot, pos):
     return jnp.take(hot, pos, axis=0, mode="clip")
 
 
+@functools.lru_cache(maxsize=16)
+def _make_sharded_gather(mesh, axis: str):
+    """Owner-gather over the row-sharded hot tier (p2p_clique_replicate):
+    each device serves the requested positions it owns from its local
+    [S, D] shard and ONE psum combines the partial results — the
+    standard sharded-embedding-lookup pattern. Wire cost per device is
+    ~2 (H-1)/H * m * D bytes (ring all-reduce of the [m, D] result),
+    independent of the hot-tier size; the naive ``jnp.take`` on the
+    sharded array lets XLA all-gather the FULL hot table (S * H * D
+    bytes) per lookup. The reference's NVLink-clique analogue: its
+    gather kernel reads only the requested rows through p2p pointers
+    (shard_tensor.cu.hpp:19-61), never the whole peer shard."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def body(hot, pos):
+        S = hot.shape[0]                   # local shard rows
+        d = jax.lax.axis_index(axis)
+        local = pos - d * S
+        mine = (local >= 0) & (local < S)
+        rows = jnp.take(hot, jnp.clip(local, 0, S - 1), axis=0)
+        rows = rows * mine[:, None].astype(rows.dtype)
+        return jax.lax.psum(rows, axis)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False))
+
+
 @jax.jit
 def _scatter_cold(out, cold_pos, cold_vals):
     """Overwrite miss rows with host-gathered values (padded lanes carry
@@ -343,7 +374,12 @@ class Feature:
         for k, v in delta.items():
             self.stats[k] += v
         if self.hot_rows > 0:
-            out = _take_clipped(self.hot, jnp.asarray(hot_idx))
+            if self.cache_policy == "p2p_clique_replicate" and self.mesh:
+                gather = _make_sharded_gather(self.mesh,
+                                              self.mesh.axis_names[0])
+                out = gather(self.hot, jnp.asarray(hot_idx))
+            else:
+                out = _take_clipped(self.hot, jnp.asarray(hot_idx))
         else:
             out = jnp.zeros((m, self.shape[1]), self.dtype)
         if pad_pos is None:
