@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 import quiver_tpu
 from quiver_tpu.ops.gat_kernels import (_expansion, _pick_tile, _SLOTS,
                                         _NEG, _VMEM_LIMIT, _fwd_pallas)
+from _timing import chain_time
 
 quiver_tpu.enable_compilation_cache()
 
@@ -70,7 +71,10 @@ def _var_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
         cp(j, i, s).wait()
 
     if mode == "dma":
-        out_ref[:] = buf[s, k]
+        # the mask term keeps the output data-dependent on the chained
+        # timing argument (defeats LICM hoisting; float*0 is not folded)
+        mk0 = (mk_ref[0, :][:, None] * 0.0).astype(buf.dtype)
+        out_ref[:] = buf[s, k] + mk0
         return
 
     emat, ematT = emat_ref[:], ematT_ref[:]
@@ -113,6 +117,30 @@ def _var_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
+            acc = acc + buf[s, j].astype(jnp.float32) * aexp
+    elif mode == "expand_f32_default":
+        for j in range(k):
+            aexp = jax.lax.dot_general(
+                ps[j] * inv, ematT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = acc + buf[s, j].astype(jnp.float32) * aexp
+    elif mode == "expand_2xbf16":
+        # hi/lo bf16 split of alpha: two DEFAULT matmuls, ~2^-16
+        # effective mantissa (the 0/1 operand is exact in bf16)
+        ematT_b = ematT.astype(jnp.bfloat16)
+        for j in range(k):
+            a = ps[j] * inv
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            aexp = (jax.lax.dot_general(
+                        hi, ematT_b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                    + jax.lax.dot_general(
+                        lo, ematT_b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT))
             acc = acc + buf[s, j].astype(jnp.float32) * aexp
     else:                                # full (shipped semantics)
         for j in range(k):
@@ -182,25 +210,23 @@ def main():
           f"traffic {bytes_per/1e6:.1f} MB/pass", file=sys.stderr)
 
     def timed(fn):
-        o = fn(x)
-        _ = float(jnp.sum(o.astype(jnp.float32)[:1, :1]))
-        ts = []
-        for _r in range(3):
-            t0 = time.time()
-            outs = [fn(x) for _ in range(args.iters)]
-            _ = float(jnp.sum(outs[-1].astype(jnp.float32)[:1, :1]))
-            ts.append((time.time() - t0) / args.iters)
-        return float(np.median(ts))
+        # chained in-jit loop on the SMALL float mask (benchmarks/_timing
+        # hazards 1-4): measures pure device time, not the ~1.5 ms
+        # transport dispatch that swamped the per-call attempt. Median
+        # of 3 chains; 100+ iters so sub-ms kernels clear the ~30 ms
+        # force round-trip noise.
+        return float(np.median([chain_time(fn, maskf, iters=args.iters)
+                                for _ in range(3)]))
 
     res = {}
     # shipped kernel (with residual outputs) for the reference number
-    t_ship = timed(lambda xv: _fwd_pallas(
-        xv, asr, adr, maskf, f=f, k=k, tile=tile, h=h, slope=0.2,
+    t_ship = timed(lambda mf: _fwd_pallas(
+        x, asr, adr, mf, f=f, k=k, tile=tile, h=h, slope=0.2,
         interpret=False)[0])
     res["shipped_full"] = t_ship
-    for mode in ("full", "expand_cheap", "sweep1", "dma"):
-        res[mode] = timed(lambda xv, m=mode: _variant(
-            xv, asr, adr, maskf, f=f, k=k, tile=tile, h=h, slope=0.2,
+    for mode in ("full", "expand_cheap", "expand_f32_default", "expand_2xbf16", "sweep1", "dma"):
+        res[mode] = timed(lambda mf, m=mode: _variant(
+            x, asr, adr, mf, f=f, k=k, tile=tile, h=h, slope=0.2,
             mode=m))
 
     # numeric check: expand_cheap vs full
@@ -210,8 +236,13 @@ def main():
     o_cheap = np.asarray(_variant(x, asr, adr, maskf, f=f, k=k, tile=tile,
                                   h=h, slope=0.2, mode="expand_cheap"),
                          np.float32)
+    o_bc = np.asarray(_variant(x, asr, adr, maskf, f=f, k=k, tile=tile,
+                               h=h, slope=0.2, mode="expand_2xbf16"),
+                      np.float32)
     rel = (np.abs(o_full - o_cheap).max()
            / max(np.abs(o_full).max(), 1e-9))
+    rel_bc = (np.abs(o_full - o_bc).max()
+              / max(np.abs(o_full).max(), 1e-9))
     rec = {"metric": "gat_fwd_headroom", "f": f, "k": k, "hc": hc,
            "tile": tile, "traffic_mb": round(bytes_per / 1e6, 1),
            "roofline_gbps": 819.0}
@@ -222,6 +253,7 @@ def main():
               f"({bytes_per/t/1e9/8.19:.0f}% of roofline)",
               file=sys.stderr)
     rec["expand_cheap_max_rel_err"] = float(rel)
+    rec["expand_2xbf16_max_rel_err"] = float(rel_bc)
     print(f"expand_cheap vs full max rel err: {rel:.2e}", file=sys.stderr)
     print(json.dumps(rec))
     if args.out:

@@ -194,10 +194,32 @@ def _fwd_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
+    # Cheap expansion: the r5 headroom decomposition
+    # (benchmarks/gat_headroom.py) measured the old f32-HIGHEST
+    # expansion matmuls at 70% of kernel time (full 0.304 ms vs a
+    # 0.087 ms DMA floor — HIGHEST runs the 6-pass f32 emulation for a
+    # 0/1 block-identity operand). bf16 compute takes f32-operand
+    # DEFAULT (one bf16 pass — the fastest variant measured: 0.099 ms,
+    # 85% of roofline, error below the bf16 output's own rounding).
+    # f32 compute: Mosaic supports only DEFAULT/HIGHEST, so emulate
+    # bf16x2 by a hi/lo split of alpha — the 0/1 operand is bf16-exact,
+    # giving ~2^-16 alpha precision at 2 passes (0.134 ms measured,
+    # 2.3x faster than HIGHEST; on-chip f32 checks hold 1e-3).
+    expand_f32x2 = cdt == jnp.float32
+    ematT_b = ematT.astype(jnp.bfloat16)
+
+    def _edot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
     def expand_heads(v):                                     # [tile,h]->[tile,hc]
-        return jax.lax.dot_general(v, ematT, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+        if not expand_f32x2:
+            return _edot(v, ematT)       # f32 operands, one bf16 pass
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _edot(hi, ematT_b) + _edot(lo, ematT_b)
 
     # sweep 1 (all k lane blocks are VMEM-resident, so the softmax is
     # exact two-pass, no online rescale): per-lane logits via one MXU
@@ -216,7 +238,8 @@ def _fwd_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
     inv = 1.0 / jnp.maximum(ssum, 1e-30)
 
     # sweep 2: weighted accumulate; per-head alpha expands to row width
-    # by one MXU block-identity matmul per lane
+    # by one MXU block-identity matmul per lane (compute-dtype, see
+    # expand_heads)
     acc = jnp.zeros((tile, asr.shape[1]), jnp.float32)
     for j in range(k):
         aexp = expand_heads(ps[j] * inv)                     # [tile, hc] f32
@@ -342,13 +365,48 @@ def _bwd_kernel(mk_ref, g_ref, out_ref, m_ref, s_ref, ad_ref, asr_ref,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
-    def expand_heads(v):
-        return jax.lax.dot_general(v, ematT, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+    # Cheap expansion: same rationale/tiering as the forward kernel
+    # (headroom decomposition: the f32-HIGHEST block-identity matmuls
+    # were 70% of kernel time; bf16 -> one f32-operand DEFAULT pass,
+    # f32 -> hi/lo bf16x2 split); bwd calls it 2k+2 times per tile
+    expand_f32x2 = cdt == jnp.float32
+    ematT_b = ematT.astype(jnp.bfloat16)
 
-    def rowsum8(v):                                          # [tile,hc]->[8,hc]
-        return v.astype(jnp.float32).reshape(tile // 8, 8, hc).sum(0)
+    def _edot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    def expand_heads(v):
+        if not expand_f32x2:
+            return _edot(v, ematT)
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _edot(hi, ematT_b) + _edot(lo, ematT_b)
+
+    # Attention-PARAM grads stay full f32: instead of expanding dz to
+    # [tile, hc] and row-summing (which would inherit the compute-dtype
+    # expansion's rounding), contract over rows in the HEAD domain —
+    # one tiny [hp, hc] matmul per lane — and mask to the block
+    # diagonal. Param grads sum F*k lanes, where isolated rounding
+    # flips accumulate (the fwd/dx streams tolerate compute dtype).
+    hp = -(-h // 8) * 8
+    blkmask = jnp.concatenate(
+        [ematT, jnp.zeros((hp - h, hc), jnp.float32)], 0) \
+        if hp > h else ematT
+
+    def param_grad(dzh, v):       # [tile, h] f32, [tile, hc] -> [hp, hc]
+        dz8 = (jnp.concatenate(
+            [dzh, jnp.zeros((tile, hp - h), jnp.float32)], 1)
+            if hp > h else dzh)
+        m8 = jax.lax.dot_general(
+            dz8, v.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) * blkmask
+        if hp > 8:                           # fold into the [8, hc] acc
+            m8 = m8.reshape(hp // 8, 8, hc).sum(0)
+        return m8
 
     gv = g_ref[:].astype(cdt)
     corr = reduce_heads(gv * out_ref[:].astype(cdt))         # [tile, h]
@@ -369,12 +427,12 @@ def _bwd_kernel(mk_ref, g_ref, out_ref, m_ref, s_ref, ad_ref, asr_ref,
         dz = de * jnp.where(zraw >= 0, 1.0, slope)
         da_d = da_d + dz
         dzf = expand_heads(dz).astype(cdt)                   # [tile, hc]
-        dasr_ref[:] += rowsum8(dzf * vj)
+        dasr_ref[:] += param_grad(dz, vj)
         bufw[s, j] = (gv * expand_heads(alpha).astype(cdt)
                       + dzf * asr_c)
     vd = bufr[s, k]
     dadf = expand_heads(da_d).astype(cdt)
-    dadr_ref[:] += rowsum8(dadf * vd)
+    dadr_ref[:] += param_grad(da_d, vd)
     bufw[s, k] = dadf * adr_c
 
     for j in range(k + 1):

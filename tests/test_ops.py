@@ -721,8 +721,13 @@ def test_flash_gat_interpret_fwd_bwd_match_xla():
             tile=256, h=H, slope=0.2, interpret=True)
         # bf16 bwd: a logit whose bf16 product lands on the other side
         # of the LeakyReLU kink gets slope 1 vs 0.2 in leaky' — a few
-        # isolated grad elements can differ by up to ~1/slope
-        btol = dict(rtol=1e-4, atol=1e-4) if dt == jnp.float32 else \
+        # isolated grad elements can differ by up to ~1/slope.
+        # f32 atol 5e-4: the r5 kernels expand alpha via a hi/lo bf16x2
+        # split (~2^-16 relative — Mosaic has no 3-pass precision and
+        # HIGHEST cost 70% of kernel time); grads of O(10) scale pick
+        # up O(2e-4) absolute noise, 20x under the on-chip tier's 5e-3
+        # value-check bound (tools/tpu_correctness.py).
+        btol = dict(rtol=1e-3, atol=5e-4) if dt == jnp.float32 else \
             dict(rtol=0.2, atol=0.5)
         np.testing.assert_allclose(np.asarray(dx_p, np.float32),
                                    np.asarray(gx, np.float32), **btol)
