@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import measure  # noqa: E402
+from bench import measure, measure_grouped  # noqa: E402
 
 BASELINE_SEPS = 33.15e6     # reference UVA, Reddit [25,10]
 N_NODES = 232_965
@@ -72,6 +72,18 @@ def main():
         sys.stderr.write(f"dense {name}: {seps/1e6:.2f}M SEPS "
                          f"({epb} e/b, compile {comp:.1f}s)\n")
         out[f"dense_{name}_seps"] = round(seps, 1)
+        if name == "window":
+            # Reddit's edges/batch is 3x smaller than products', so the
+            # per-dispatch transport cost (~2.3 ms) costs 3x more SEPS
+            # per call — grouped dispatch (the stream-pool analogue) is
+            # the honest sustained-throughput figure here too.
+            gseps, gband = measure_grouped(s, topo.node_count)
+            sys.stderr.write(f"dense window grouped (g=8): "
+                             f"{gseps/1e6:.2f}M "
+                             f"[{gband[0]/1e6:.1f}, {gband[1]/1e6:.1f}]\n")
+            out["grouped_seps"] = round(gseps, 1)
+            out["grouped_band"] = [round(gband[0], 1),
+                                   round(gband[1], 1)]
         del s
 
     # strict per-hop dedup (reference contract). Capacities ~1.25x the
@@ -83,8 +95,10 @@ def main():
     sys.stderr.write(f"strict: {seps2/1e6:.2f}M SEPS "
                      f"(compile {comp2:.1f}s)\n")
 
-    out["value"] = out["dense_window_seps"]
-    out["vs_baseline"] = round(out["dense_window_seps"] / BASELINE_SEPS, 4)
+    out["value"] = out.get("grouped_seps", out["dense_window_seps"])
+    out["vs_baseline"] = round(out["value"] / BASELINE_SEPS, 4)
+    out["per_call_vs_baseline"] = round(
+        out["dense_window_seps"] / BASELINE_SEPS, 4)
     out["strict_dedup_seps"] = round(seps2, 1)
     out["strict_vs_baseline"] = round(seps2 / BASELINE_SEPS, 4)
     print(json.dumps(out))
