@@ -113,7 +113,7 @@ def main():
         warm = np.stack([rng.integers(0, n, B) for _ in range(H)])
         _f, outs, _d = ds._run_static(warm, B, caps=caps, comm=comm)
         _ = int(count([m for m, _s, _c in outs]))
-        times, edges = [], 0
+        windows = []
         for _ in range(repeats):
             seed_sets = [np.stack([rng.integers(0, n, B)
                                    for _ in range(H)])
@@ -126,10 +126,13 @@ def main():
                 all_outs.append(outs)
             _ = int(count([m for m, _s, _c in all_outs[-1]]))
             dt = time.time() - t0
-            times.append(dt / args.iters)
             edges = sum(int(count([m for m, _s, _c in o]))
                         for o in all_outs) / args.iters
-        return sorted(times)[len(times) // 2], edges
+            windows.append((dt / args.iters, edges))
+        # each window keeps ITS OWN edge count (seed sets differ), so
+        # the reported SEPS pairs the median window's time and edges
+        windows.sort()
+        return windows[len(windows) // 2]
 
     def run_at(H):
         mesh = Mesh(np.array(devices[:H]), ("data",))

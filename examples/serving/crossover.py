@@ -272,7 +272,8 @@ def main():
                           balance_smp_ms_per_cost=smp_ms_per_cost,
                           # budget: the pool absorbs this much queued
                           # sampling before spilling to the device lane
-                          balance_outstanding_ms=W * 4 * t_smp),
+                          balance_outstanding_ms=W * 4 * t_smp,
+                          balance_drain_per_ms=W),
             "all-device": dict(mode="device"),
             "all-cpu": dict(mode="cpu"),
         }

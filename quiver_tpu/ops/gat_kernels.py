@@ -72,6 +72,35 @@ def _expansion(h: int, c: int):
     return jnp.asarray(e)
 
 
+def _make_expand(ematT, cdt):
+    """Cheap per-head expansion [tile, h] -> [tile, hc], shared by the
+    fwd and bwd kernels. The r5 headroom decomposition
+    (benchmarks/gat_headroom.py) measured the old f32-HIGHEST expansion
+    matmuls at 70% of kernel time (6-pass MXU emulation against a 0/1
+    block-identity operand). bf16 compute takes ONE f32-operand DEFAULT
+    pass (error below the output dtype's own rounding); f32 compute
+    emulates bf16x2 with a hi/lo split of the operand — the 0/1 matrix
+    is bf16-exact, so ~2^-16 precision at 2 passes (Mosaic has no
+    3-pass precision tier)."""
+    f32x2 = cdt == jnp.float32
+    ematT_b = ematT.astype(jnp.bfloat16)
+
+    def _edot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    def expand(v):
+        if not f32x2:
+            return _edot(v, ematT)
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _edot(hi, ematT_b) + _edot(lo, ematT_b)
+
+    return expand
+
+
 def _pick_tile(f: int, k: int, hc: int, itemsize: int) -> int:
     """Largest power-of-two tile dividing f whose double-buffered
     read+write stream blocks (bwd needs both sets) fit the VMEM budget;
@@ -194,32 +223,9 @@ def _fwd_kernel(mk_ref, asr_ref, adr_ref, emat_ref, ematT_ref, x_hbm,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
-    # Cheap expansion: the r5 headroom decomposition
-    # (benchmarks/gat_headroom.py) measured the old f32-HIGHEST
-    # expansion matmuls at 70% of kernel time (full 0.304 ms vs a
-    # 0.087 ms DMA floor — HIGHEST runs the 6-pass f32 emulation for a
-    # 0/1 block-identity operand). bf16 compute takes f32-operand
-    # DEFAULT (one bf16 pass — the fastest variant measured: 0.099 ms,
-    # 85% of roofline, error below the bf16 output's own rounding).
-    # f32 compute: Mosaic supports only DEFAULT/HIGHEST, so emulate
-    # bf16x2 by a hi/lo split of alpha — the 0/1 operand is bf16-exact,
-    # giving ~2^-16 alpha precision at 2 passes (0.134 ms measured,
-    # 2.3x faster than HIGHEST; on-chip f32 checks hold 1e-3).
-    expand_f32x2 = cdt == jnp.float32
-    ematT_b = ematT.astype(jnp.bfloat16)
-
-    def _edot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-
-    def expand_heads(v):                                     # [tile,h]->[tile,hc]
-        if not expand_f32x2:
-            return _edot(v, ematT)       # f32 operands, one bf16 pass
-        hi = v.astype(jnp.bfloat16)
-        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return _edot(hi, ematT_b) + _edot(lo, ematT_b)
+    # cheap per-head expansion (one bf16 MXU pass / hi-lo bf16x2 for
+    # f32) — see _make_expand for the r5 headroom rationale
+    expand_heads = _make_expand(ematT, cdt)
 
     # sweep 1 (all k lane blocks are VMEM-resident, so the softmax is
     # exact two-pass, no online rescale): per-lane logits via one MXU
@@ -365,25 +371,9 @@ def _bwd_kernel(mk_ref, g_ref, out_ref, m_ref, s_ref, ad_ref, asr_ref,
                                    preferred_element_type=jnp.float32,
                                    precision=prec)
 
-    # Cheap expansion: same rationale/tiering as the forward kernel
-    # (headroom decomposition: the f32-HIGHEST block-identity matmuls
-    # were 70% of kernel time; bf16 -> one f32-operand DEFAULT pass,
-    # f32 -> hi/lo bf16x2 split); bwd calls it 2k+2 times per tile
-    expand_f32x2 = cdt == jnp.float32
-    ematT_b = ematT.astype(jnp.bfloat16)
-
-    def _edot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-
-    def expand_heads(v):
-        if not expand_f32x2:
-            return _edot(v, ematT)
-        hi = v.astype(jnp.bfloat16)
-        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return _edot(hi, ematT_b) + _edot(lo, ematT_b)
+    # cheap per-head expansion shared with the fwd kernel (bwd calls it
+    # 2k+2 times per tile) — see _make_expand
+    expand_heads = _make_expand(ematT, cdt)
 
     # Attention-PARAM grads stay full f32: instead of expanding dz to
     # [tile, hc] and row-summing (which would inherit the compute-dtype

@@ -335,49 +335,42 @@ def _sample_layers(indptr, indices, edge_table, seeds, seed_count, key, *,
     return frontier, f_count, layer_outs
 
 
-_SCAN_CACHE = {}
-_VMAP_CACHE = {}
+_RUNNER_CACHE = {}
 
 
-def _vmap_batches(fn, tables, seeds2d, seed_count, keys, **static_kw):
-    """Run per-batch sampling ``fn`` over stacked seed batches as ONE
-    vmapped program (``sample_many(method='vmap')``): all batches'
-    gathers schedule together, amortizing per-dispatch overhead —
-    the throughput mode of the stream-pool analogue."""
-    key_id = (fn, "vmap", tuple(sorted(static_kw.items())))
-    run = _VMAP_CACHE.get(key_id)
+def _batched_runner(fn, method, **static_kw):
+    """Cached jitted program running per-batch sampling ``fn`` over
+    stacked seed batches (used by :meth:`NeighborSampler.sample_many`).
+
+    ``fn(*tables, seeds_row, seed_count, key, **static_kw)`` is one of
+    the jitted ``_sample_layers*`` entry points. ``method``:
+
+      "scan"  one ``lax.scan`` — batches execute sequentially,
+              constant memory;
+      "vmap"  one vmapped program — all batches' gathers schedule
+              together, amortizing per-dispatch overhead (the
+              throughput mode of the stream-pool analogue).
+    """
+    key_id = (fn, method, tuple(sorted(static_kw.items())))
+    run = _RUNNER_CACHE.get(key_id)
     if run is None:
         inner = functools.partial(fn, **static_kw)
-
-        @jax.jit
-        def run(tables, seeds2d, seed_count, keys):
-            return jax.vmap(
-                lambda s, k: inner(*tables, s, seed_count, k),
-                in_axes=(0, 0))(seeds2d, keys)
-        _VMAP_CACHE[key_id] = run
-    return run(tables, seeds2d, seed_count, keys)
-
-
-def _scan_batches(fn, tables, seeds2d, seed_count, keys, **static_kw):
-    """Run per-batch sampling ``fn`` over stacked seed batches with ONE
-    jitted ``lax.scan`` program (used by :meth:`NeighborSampler.sample_many`).
-
-    ``fn(*tables, seeds_row, seed_count, key, **static_kw)`` is one of the
-    jitted ``_sample_layers*`` entry points; the wrapper is cached per
-    (fn, static args) so repeated calls reuse the traced program.
-    """
-    key_id = (fn, tuple(sorted(static_kw.items())))
-    run = _SCAN_CACHE.get(key_id)
-    if run is None:
-        @jax.jit
-        def run(tables, seeds2d, seed_count, keys):
-            def body(_, x):
-                s, k = x
-                return None, fn(*tables, s, seed_count, k, **static_kw)
-            _, outs = jax.lax.scan(body, None, (seeds2d, keys))
-            return outs
-        _SCAN_CACHE[key_id] = run
-    return run(tables, seeds2d, seed_count, keys)
+        if method == "vmap":
+            @jax.jit
+            def run(tables, seeds2d, seed_count, keys):
+                return jax.vmap(
+                    lambda s, k: inner(*tables, s, seed_count, k),
+                    in_axes=(0, 0))(seeds2d, keys)
+        else:
+            @jax.jit
+            def run(tables, seeds2d, seed_count, keys):
+                def body(_, x):
+                    s, k = x
+                    return None, inner(*tables, s, seed_count, k)
+                _, outs = jax.lax.scan(body, None, (seeds2d, keys))
+                return outs
+        _RUNNER_CACHE[key_id] = run
+    return run
 
 
 class NeighborSampler:
@@ -753,6 +746,12 @@ class NeighborSampler:
             outs = [self._cpu.sample(np.asarray(s)) for s in seeds2d]
             return jax.tree.map(lambda *xs: np.stack(xs), *outs)
 
+        if method == "vmap" and self.dedup != "none":
+            # validate BEFORE the key split so a rejected call leaves
+            # the sampler's RNG stream untouched (seed reproducibility)
+            raise ValueError("sample_many(method='vmap') supports the "
+                             "dense (dedup='none') pipeline; use 'scan' "
+                             "for per-hop-dedup batches")
         seeds2d = np.asarray(seeds2d)
         n_b, n = seeds2d.shape
         bs = self._bucket(n)
@@ -761,26 +760,23 @@ class NeighborSampler:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, n_b)
         caps = _layer_capacities(bs, self.sizes, self.capacities)
-        if method == "vmap" and self.dedup != "none":
-            raise ValueError("sample_many(method='vmap') supports the "
-                             "dense (dedup='none') pipeline; use 'scan' "
-                             "for per-hop-dedup batches")
 
         if self.dedup == "none":
-            runner = _vmap_batches if method == "vmap" else _scan_batches
             if self.sampling == "packed":
                 packed2d, seed_meta = self.indices
-                frontier, f_valid, layer_outs = runner(
-                    _sample_layers_packed, (packed2d, seed_meta),
-                    jnp.asarray(pad), jnp.int32(n), keys,
-                    sizes=self.sizes, batch_size=bs)
+                run = _batched_runner(_sample_layers_packed, method,
+                                      sizes=self.sizes, batch_size=bs)
+                frontier, f_valid, layer_outs = run(
+                    (packed2d, seed_meta), jnp.asarray(pad),
+                    jnp.int32(n), keys)
             else:
-                frontier, f_valid, layer_outs = runner(
-                    _sample_layers_dense,
-                    (self.indptr, self.indices, self.edge_table),
-                    jnp.asarray(pad), jnp.int32(n), keys,
-                    sizes=self.sizes, batch_size=bs, weighted=self.weighted,
+                run = _batched_runner(
+                    _sample_layers_dense, method, sizes=self.sizes,
+                    batch_size=bs, weighted=self.weighted,
                     window=self.sampling == "window")
+                frontier, f_valid, layer_outs = run(
+                    (self.indptr, self.indices, self.edge_table),
+                    jnp.asarray(pad), jnp.int32(n), keys)
             blocks = []
             f_cap = bs
             for li, (mask, slot, dst_count) in enumerate(layer_outs):
@@ -797,16 +793,17 @@ class NeighborSampler:
                 seed_count=jnp.full((n_b,), n, jnp.int32),
                 adjs=tuple(reversed(blocks)))
 
-        frontier, f_count, layer_outs = _scan_batches(
-            _sample_layers,
-            (self.indptr, self.indices, self.edge_table),
-            jnp.asarray(pad), jnp.int32(n), keys,
+        run = _batched_runner(
+            _sample_layers, "scan",
             sizes=self.sizes, caps=caps, batch_size=bs,
             weighted=self.weighted, window=self.sampling == "window",
             reindex=self._reindex_plan(bs, caps),
             num_nodes=self.csr_topo.node_count,
             big_caps=self._resolve_big_caps(bs, caps),
             fused=self._fused)
+        frontier, f_count, layer_outs = run(
+            (self.indptr, self.indices, self.edge_table),
+            jnp.asarray(pad), jnp.int32(n), keys)
         adjs = []
         f_cap = bs
         for li, (edge_index, e_id, mask, counts) in enumerate(layer_outs):

@@ -112,7 +112,8 @@ class RequestBatcher:
                  threshold: float = 0.0, mode: str = "auto",
                  lane_ms_per_cost=None, lane_profile=None,
                  balance_smp_ms_per_cost: float = 0.0,
-                 balance_outstanding_ms: float = 100.0):
+                 balance_outstanding_ms: float = 100.0,
+                 balance_drain_per_ms: float = 1.0):
         self.stream_queue = stream_queue
         self.neighbour_num = (None if neighbour_num is None
                               else np.asarray(neighbour_num))
@@ -157,9 +158,28 @@ class RequestBatcher:
         # saturation protection rather than a fixed size threshold).
         # ``balance_smp_ms_per_cost`` converts predicted request cost to
         # estimated host sampling ms (measure: t_cpu_sample / cost).
+        # The outstanding estimate DRAINS with wall time at the pool's
+        # service rate (``balance_drain_per_ms`` work-ms per wall-ms,
+        # i.e. the worker count) — a token bucket, so correctness never
+        # depends on completion callbacks being wired.
+        if mode == "balance":
+            if neighbour_num is None:
+                raise ValueError("mode='balance' needs a neighbour_num "
+                                 "table (the routed quantity is "
+                                 "predicted sampling work)")
+            if balance_smp_ms_per_cost <= 0:
+                raise ValueError("mode='balance' needs "
+                                 "balance_smp_ms_per_cost > 0 (measured "
+                                 "host sampling ms per predicted cost)")
+        elif mode not in ("auto", "device", "cpu"):
+            raise ValueError(f"unknown RequestBatcher mode {mode!r}")
         self.balance_smp_ms_per_cost = balance_smp_ms_per_cost
         self.balance_outstanding_ms = balance_outstanding_ms
+        # drain rate in work-ms per wall-ms = the CPU pool's worker
+        # count (each worker retires ~1 ms of sampling per ms)
+        self.balance_drain_per_ms = float(balance_drain_per_ms)
         self._cpu_outstanding_ms = 0.0
+        self._balance_ts = time.time()
         self._balance_lock = threading.Lock()
         self.device_queue: queue.Queue = queue.Queue()
         self.cpu_queue: queue.Queue = queue.Queue()
@@ -189,16 +209,14 @@ class RequestBatcher:
         if lane_cost is None:
             return
         lane, cost = lane_cost
-        if lane == "cpu" and self.balance_smp_ms_per_cost:
-            with self._balance_lock:
-                self._cpu_outstanding_ms = max(
-                    0.0, self._cpu_outstanding_ms
-                    - cost * self.balance_smp_ms_per_cost)
         if device_ms is not None:
             self.realized_ms[lane].append(
                 (cost, device_ms / max(group_n, 1)))
 
-    def _choose(self, seeds):
+    def _choose(self, seeds, reserve=True):
+        """Pick a lane for ``seeds``. ``reserve=False`` is a dry peek:
+        balance mode then inspects the bucket without consuming budget
+        (used by :meth:`_route`)."""
         if self.mode == "device":
             return "device", 0.0
         if self.mode == "cpu":
@@ -207,11 +225,21 @@ class RequestBatcher:
             return "device", 0.0
         cost = float(np.take(self.neighbour_num, seeds, mode="clip").sum())
         if self.mode == "balance":
+            # token bucket: the outstanding-work estimate drains with
+            # wall time at the pool's rate, so routing stays correct
+            # even when no completion callback is wired
             est = cost * self.balance_smp_ms_per_cost
+            now = time.time()
             with self._balance_lock:
+                elapsed_ms = (now - self._balance_ts) * 1e3
+                self._balance_ts = now
+                self._cpu_outstanding_ms = max(
+                    0.0, self._cpu_outstanding_ms
+                    - elapsed_ms * self.balance_drain_per_ms)
                 if (self._cpu_outstanding_ms + est
                         <= self.balance_outstanding_ms):
-                    self._cpu_outstanding_ms += est
+                    if reserve:
+                        self._cpu_outstanding_ms += est
                     return "cpu", cost
             return "device", cost
         if self.lane_profile is not None:
@@ -238,7 +266,8 @@ class RequestBatcher:
         return ("device" if cost > self.threshold else "cpu"), cost
 
     def _route(self, seeds) -> queue.Queue:
-        lane, _ = self._choose(seeds)
+        """Dry routing peek (no budget reservation, no inflight entry)."""
+        lane, _ = self._choose(seeds, reserve=False)
         return self.device_queue if lane == "device" else self.cpu_queue
 
     def _dispatch(self):

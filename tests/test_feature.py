@@ -182,9 +182,10 @@ def test_feature_p2p_clique_sharded_policy():
                   if "all-gather" in ln or "all-reduce" in ln]
     assert coll_lines, "expected a collective in the owner-gather"
     for ln in coll_lines:
-        shp = re.search(r"f32\[([0-9,]+)\]", ln)
-        dims = [int(x) for x in shp.group(1).split(",")]
-        assert np.prod(dims) <= 64 * feat.shape[1], ln
+        shp = re.search(r"f32\[([0-9,]*)\]", ln)
+        assert shp is not None, f"collective without an f32 shape: {ln}"
+        dims = [int(x) for x in shp.group(1).split(",") if x]
+        assert np.prod(dims, initial=1) <= 64 * feat.shape[1], ln
     np.testing.assert_allclose(np.asarray(g(f.hot, pos)),
                                np.asarray(jax.device_get(f.hot))[:64],
                                rtol=1e-6)

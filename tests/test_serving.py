@@ -51,15 +51,17 @@ def test_request_batcher_routing():
 
 def test_request_batcher_balance_mode():
     """mode='balance' (the hybrid-crossover router): requests default to
-    the CPU lane and spill to the device lane only while the pool's
-    estimated outstanding sampling exceeds the budget; completions
-    release budget."""
+    the CPU lane and spill to the device lane while the pool's estimated
+    outstanding sampling exceeds the budget; the token bucket DRAINS
+    with wall time (no completion callback required)."""
     nn = np.ones(16)
     inq = queue.Queue()
-    # each 4-seed request costs 4 * 2.5 = 10 ms; budget fits two
+    # each 4-seed request costs 4 * 25 = 100 ms of estimated sampling;
+    # budget fits two (drain over the test's few-ms dispatch window is
+    # negligible at 1 work-ms/ms)
     rb = RequestBatcher(inq, neighbour_num=nn, mode="balance",
-                        balance_smp_ms_per_cost=2.5,
-                        balance_outstanding_ms=20.0)
+                        balance_smp_ms_per_cost=25.0,
+                        balance_outstanding_ms=200.0)
     for i in range(4):
         inq.put((i, np.arange(4), time.time()))
     a = rb.cpu_queue.get(timeout=5)
@@ -67,12 +69,21 @@ def test_request_batcher_balance_mode():
     c = rb.device_queue.get(timeout=5)
     d = rb.device_queue.get(timeout=5)
     assert {a[0], b[0]} == {0, 1} and {c[0], d[0]} == {2, 3}
-    # releasing one cpu request frees budget for the next
-    rb.report_request_done(a[0])
+    # wall-time drain frees budget with NO callback wired
+    time.sleep(0.15)                       # drains >= 100 work-ms
     inq.put((9, np.arange(4), time.time()))
     e = rb.cpu_queue.get(timeout=5)
     assert e[0] == 9
     rb.stop()
+
+    # misconfigurations raise instead of silently degrading
+    with pytest.raises(ValueError):
+        RequestBatcher(queue.Queue(), neighbour_num=nn, mode="balanced")
+    with pytest.raises(ValueError):
+        RequestBatcher(queue.Queue(), neighbour_num=None, mode="balance",
+                       balance_smp_ms_per_cost=1.0)
+    with pytest.raises(ValueError):
+        RequestBatcher(queue.Queue(), neighbour_num=nn, mode="balance")
 
 
 def test_serving_end_to_end():
