@@ -365,7 +365,14 @@ def main():
         out = Path(__file__).resolve().parent.parent.parent / \
             "SERVING_BENCH.json"
         try:
-            out.write_text(json.dumps(art) + "\n")
+            # replace only THIS metric's line; other scripts (crossover,
+            # serve_rgcn) share the artifact file
+            lines = []
+            if out.exists():
+                lines = [ln for ln in out.read_text().splitlines()
+                         if ln.strip()
+                         and json.loads(ln).get("metric") != art["metric"]]
+            out.write_text("\n".join([json.dumps(art)] + lines) + "\n")
             print(f"wrote {out}")
         except OSError:
             pass
