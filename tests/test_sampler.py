@@ -769,3 +769,42 @@ def test_weighted_alias_packed_neighbors_match_legacy():
     m = np.asarray(m2)
     np.testing.assert_array_equal(np.asarray(n2)[m], np.asarray(n4)[m])
     assert (np.asarray(n4)[~m] == 0).all()
+
+
+def test_dgl_block_data_adapter():
+    """dgl_compat.to_block_data: per-layer block construction data is
+    ground-truth valid for BOTH pipelines — every emitted edge's global
+    (src, dst) pair is a true graph edge, local ids are in range, and
+    layer ordering matches adjs (outermost first)."""
+    from quiver_tpu import dgl_compat
+
+    rng = np.random.default_rng(11)
+    n = 200
+    row = rng.integers(0, n, 3000)
+    col = rng.integers(0, n, 3000)
+    topo = CSRTopo(edge_index=np.stack([row, col]), num_nodes=n)
+    adj = {v: set(col[row == v].tolist()) for v in range(n)}
+    indices = np.asarray(topo.indices)
+
+    # sampling="exact" keeps e_id = original CSR slot (window mode's
+    # slots index the shuffled layout; see dgl_compat docstring)
+    for dedup in ("none", "per_hop"):
+        s = NeighborSampler(topo, [4, 3], mode="TPU", dedup=dedup, seed=2,
+                            sampling="exact")
+        b = s.sample(rng.choice(n, 32, replace=False))
+        blocks = dgl_compat.to_block_data(b)
+        assert len(blocks) == 2
+        # outermost first: first block's dst space is the wider one
+        assert blocks[0]["num_dst"] >= blocks[1]["num_dst"]
+        for bd in blocks:
+            assert bd["edge_src"].shape == bd["edge_dst"].shape \
+                == bd["eid"].shape
+            assert bd["edge_src"].size > 0
+            assert (bd["edge_src"] < bd["num_src"]).all()
+            assert (bd["edge_dst"] < bd["num_dst"]).all()
+            src_g = bd["src_ids"][bd["edge_src"]]
+            dst_g = bd["dst_ids"][bd["edge_dst"]]
+            for sg, dg, eid in zip(src_g.tolist(), dst_g.tolist(),
+                                   bd["eid"].tolist()):
+                assert sg in adj[dg], (dedup, sg, dg)
+                assert int(indices[eid]) == sg   # eid -> CSR slot
